@@ -1,0 +1,112 @@
+"""Screen-space projection of 3D Gaussians (EWA splatting).
+
+Functional equivalent of the reference CUDA ``preprocess`` kernel in
+submodules/diff-gaussian-rasterization (characterized by its call contract at
+gaussian_splatting/gaussian_renderer/__init__.py:42-55,117-126): frustum cull,
+3D->2D projection, J W Sigma W^T J^T covariance, low-pass blur, conic +
+radius. Written as one big vmappable jnp program so XLA fuses it into a
+single elementwise pipeline over the Gaussian axis; differentiable w.r.t.
+every Gaussian parameter *and* the camera pose (w2c), which the reference
+kernels do not provide.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from splatloc_tpu.core.camera import Camera
+from splatloc_tpu.core import transforms
+from splatloc_tpu.raster.types import Projected, RasterConfig
+
+
+def build_cov3d(scales: jax.Array, quats: jax.Array) -> jax.Array:
+    """Scale (activated, [N,3]) + quaternion ([N,4], wxyz) -> 3D covariance
+    [N,3,3]. Reference: R S S^T R^T lower-triangular build
+    (gaussian_splatting/scene/gaussian_model.py:72-76,
+    utils/general_utils.py:96-110)."""
+    R = transforms.quat_to_matrix(quats)          # [N,3,3]
+    M = R * scales[..., None, :]                  # R @ diag(s)
+    return M @ M.swapaxes(-1, -2)
+
+
+def project_gaussians(
+    means3d: jax.Array,      # [N,3]
+    scales: jax.Array,       # [N,3] activated (exp'd)
+    quats: jax.Array,        # [N,4] unnormalized ok
+    camera: Camera,
+    cfg: RasterConfig,
+    alive: jax.Array | None = None,   # [N] bool
+    scaling_modifier: float = 1.0,
+) -> Projected:
+    w2c = camera.w2c
+    R_cw = w2c[:3, :3]
+    t_cw = w2c[:3, 3]
+
+    p_view = means3d @ R_cw.T + t_cw
+    z = p_view[..., 2]
+    in_front = z > cfg.near
+
+    zs = jnp.where(in_front, z, 1.0)  # safe divisor for culled points
+    x, y = p_view[..., 0], p_view[..., 1]
+    u = camera.fx * x / zs + (camera.cx - 0.5)
+    v = camera.fy * y / zs + (camera.cy - 0.5)
+    xy = jnp.stack([u, v], axis=-1)
+
+    # EWA: clamp the tangent-plane coords like the CUDA computeCov2D does.
+    tan_fovx = camera.tanfovx
+    tan_fovy = camera.tanfovy
+    limx = 1.3 * tan_fovx
+    limy = 1.3 * tan_fovy
+    txz = jnp.clip(x / zs, -limx, limx)
+    tyz = jnp.clip(y / zs, -limy, limy)
+    tx = txz * zs
+    ty = tyz * zs
+
+    fx, fy = camera.fx, camera.fy
+    # J rows (the 2x3 Jacobian of (u,v) wrt view-space point)
+    j00 = fx / zs
+    j02 = -fx * tx / (zs * zs)
+    j11 = fy / zs
+    j12 = -fy * ty / (zs * zs)
+
+    cov3d = build_cov3d(scales * scaling_modifier, quats)        # [N,3,3]
+    # V' = W Sigma W^T in view space, then 2x2 block via J.
+    covV = jnp.einsum("ij,njk,lk->nil", R_cw, cov3d, R_cw)       # [N,3,3]
+    # 2x2 = J covV J^T with J = [[j00,0,j02],[0,j11,j12]]
+    c00 = (j00 * (j00 * covV[:, 0, 0] + j02 * covV[:, 2, 0])
+           + j02 * (j00 * covV[:, 0, 2] + j02 * covV[:, 2, 2]))
+    c01 = (j11 * (j00 * covV[:, 0, 1] + j02 * covV[:, 2, 1])
+           + j12 * (j00 * covV[:, 0, 2] + j02 * covV[:, 2, 2]))
+    c11 = (j11 * (j11 * covV[:, 1, 1] + j12 * covV[:, 2, 1])
+           + j12 * (j11 * covV[:, 1, 2] + j12 * covV[:, 2, 2]))
+
+    c00 = c00 + cfg.cov2d_blur
+    c11 = c11 + cfg.cov2d_blur
+
+    det = c00 * c11 - c01 * c01
+    det_ok = det > 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
+
+    mid = 0.5 * (c00 + c11)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det_safe))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lambda1))
+
+    visible = in_front & det_ok
+    if alive is not None:
+        visible = visible & alive
+
+    # Tile-overlap cull identical to CUDA getRect: zero-area rect => invisible.
+    ts = float(cfg.tile_size)
+    gx = -(-camera.width // cfg.tile_size)
+    gy = -(-camera.height // cfg.tile_size)
+    rect_min_x = jnp.clip(jnp.floor((u - radius) / ts), 0, gx)
+    rect_max_x = jnp.clip(jnp.floor((u + radius + ts - 1) / ts), 0, gx)
+    rect_min_y = jnp.clip(jnp.floor((v - radius) / ts), 0, gy)
+    rect_max_y = jnp.clip(jnp.floor((v + radius + ts - 1) / ts), 0, gy)
+    nonempty = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y) > 0
+    visible = visible & nonempty
+
+    radius = jnp.where(visible, radius, 0.0)
+    return Projected(xy=xy, depth=z, conic=conic, radius=radius, visible=visible)

@@ -1,0 +1,54 @@
+"""Rasterizer configuration and output containers."""
+from __future__ import annotations
+
+import jax
+from flax import struct
+
+
+@struct.dataclass
+class RasterConfig:
+    """Static rasterization parameters (hashable; safe as a jit-static arg).
+
+    The reference CUDA rasterizer uses 16x16 tiles with unbounded per-tile
+    depth-sorted lists (submodules/diff-gaussian-rasterization, characterized
+    at gaussian_splatting/gaussian_renderer/__init__.py:117-126). On TPU we
+    keep static shapes: fixed tile size + fixed per-tile capacity; overflow
+    drops the *farthest* Gaussians (lists are built in depth order), which is
+    graceful because their blend weight is the smallest.
+    """
+    tile_size: int = struct.field(pytree_node=False, default=16)
+    max_per_tile: int = struct.field(pytree_node=False, default=1024)
+    # Tiles processed per lax.map step in the pure-JAX blend (memory knob).
+    tile_chunk: int = struct.field(pytree_node=False, default=64)
+    # Near-plane cull distance — hardcoded 0.2 in the reference CUDA kernels.
+    near: float = struct.field(pytree_node=False, default=0.2)
+    # Alpha clamp / termination constants from the CUDA kernel.
+    alpha_max: float = struct.field(pytree_node=False, default=0.99)
+    alpha_min: float = struct.field(pytree_node=False, default=1.0 / 255.0)
+    transmittance_eps: float = struct.field(pytree_node=False, default=1e-4)
+    # Low-pass filter added to the 2D covariance diagonal (EWA blur).
+    cov2d_blur: float = struct.field(pytree_node=False, default=0.3)
+    # Use the Pallas TPU kernel for the blend stage (else pure-JAX tiled).
+    use_pallas: bool = struct.field(pytree_node=False, default=False)
+
+
+@struct.dataclass
+class RenderOutput:
+    """Mirror of the reference render() dict contract
+    (gaussian_splatting/gaussian_renderer/__init__.py:133-141), channels-last.
+    """
+    image: jax.Array        # [H, W, C]   all composited channels (RGB+extra)
+    depth: jax.Array        # [H, W]      expected depth
+    alpha: jax.Array        # [H, W]      1 - final transmittance
+    radii: jax.Array        # [N]         screen-space radius (pixels, int32)
+    means2d: jax.Array      # [N, 2]      pixel-space projected centers
+
+
+@struct.dataclass
+class Projected:
+    """Per-Gaussian screen-space quantities produced by project_gaussians."""
+    xy: jax.Array           # [N, 2] pixel coords (integer-center grid)
+    depth: jax.Array        # [N]    view-space z
+    conic: jax.Array        # [N, 3] inverse 2D covariance (a, b, c)
+    radius: jax.Array       # [N]    float radius in pixels (0 => culled)
+    visible: jax.Array      # [N]    bool
