@@ -79,7 +79,7 @@ def render(scene, camera: Camera, cfg: RasterConfig = RasterConfig(),
                                  camera.camera_center)
     else:
         rgb = override_color
-    colors = jnp.concatenate([rgb, scene.kp_score[:, None]], axis=-1)
+    colors = jnp.concatenate([rgb, scene.kp_score], axis=-1)  # kp_score [M,1]
     if bg is None:
         bg = jnp.zeros((colors.shape[-1],), jnp.float32)
 
