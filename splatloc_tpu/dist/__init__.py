@@ -1,0 +1,3 @@
+from splatloc_tpu.dist.shard import (make_mesh, scene_sharding,
+                                     frames_sharding, shard_scene,
+                                     make_sharded_mapping_step)

@@ -1,0 +1,392 @@
+"""Scene-mapping trainer — TPU redesign of the reference SplatLoc driver
+(train_gaussians.py:51-355).
+
+Structure: all hot work lives in two jitted step functions (mapping step over
+a window of keyframes; color-refinement step over one keyframe); the host
+loop only samples window indices, triggers densify/opacity-reset on the
+reference schedule, and grows the padded capacity when needed.
+
+Keyframes live on device in a preallocated FrameStore (rgb uint8, depth in
+uint16 millimeters, score float16) so a training step never touches the host.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatloc_tpu.core.camera import Camera
+from splatloc_tpu.raster import rasterize
+from splatloc_tpu.raster.types import RasterConfig
+from splatloc_tpu.scene import GaussianScene, densify, init_rgbd, optim
+from splatloc_tpu.train import losses
+
+
+class FrameStore:
+    """Preallocated on-device keyframe storage."""
+
+    def __init__(self, capacity: int, height: int, width: int):
+        self.capacity = capacity
+        self.n = 0
+        self.rgb = jnp.zeros((capacity, height, width, 3), jnp.uint8)
+        self.depth_mm = jnp.zeros((capacity, height, width), jnp.uint16)
+        self.score = jnp.zeros((capacity, height, width), jnp.float16)
+        self.w2c = jnp.tile(jnp.eye(4, dtype=jnp.float32), (capacity, 1, 1))
+        self.exposure = jnp.zeros((capacity, 2), jnp.float32)
+
+    def append(self, rgb: np.ndarray, depth: np.ndarray, score: np.ndarray,
+               w2c: np.ndarray) -> int:
+        """rgb [H,W,3] float 0..1 or uint8; depth metric float; score [H,W]."""
+        i = self.n
+        assert i < self.capacity, "FrameStore full"
+        if rgb.dtype != np.uint8:
+            rgb = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        self.rgb = self.rgb.at[i].set(jnp.asarray(rgb))
+        self.depth_mm = self.depth_mm.at[i].set(
+            jnp.asarray(np.clip(depth * 1000.0, 0, 65535).astype(np.uint16)))
+        self.score = self.score.at[i].set(jnp.asarray(score.astype(np.float16)))
+        self.w2c = self.w2c.at[i].set(jnp.asarray(w2c.astype(np.float32)))
+        self.n += 1
+        return i
+
+    def gather(self, idx: jax.Array) -> dict:
+        return {
+            "rgb": self.rgb[idx],
+            "depth_mm": self.depth_mm[idx],
+            "score": self.score[idx],
+            "w2c": self.w2c[idx],
+            "exposure": self.exposure[idx],
+        }
+
+
+@dataclass(frozen=True)
+class MappingConfig:
+    """Static hyperparameters (reference configs/*/base_config.yaml)."""
+    width: int = 640
+    height: int = 480
+    fx: float = 320.0
+    fy: float = 320.0
+    cx: float = 319.5
+    cy: float = 239.5
+    window_size: int = 5
+    rgb_boundary_threshold: float = 0.01
+    primitive_reg: bool = True
+    marker_thresh: float = 0.005
+    isotropic_weight: float = 0.01
+    lambda_dssim: float = 0.2
+    sh_degree: int = 0
+    # densification (Training + opt_params sections)
+    gaussian_update_every: int = 150
+    gaussian_update_offset: int = 50
+    gaussian_th: float = 0.7
+    gaussian_extent: float = 6.0        # cameras_extent * Training.gaussian_extent
+    gaussian_reset: int = 2001
+    size_threshold: float = 20.0
+    densify_grad_threshold: float = 0.0002
+    percent_dense: float = 0.01
+    spatial_lr_scale: float = 6.0       # gaussians.init_lr(6.0)
+    # adam lrs (opt_params)
+    position_lr_init: float = 0.00016
+    position_lr_final: float = 0.0000016
+    position_lr_delay_mult: float = 0.01
+    position_lr_max_steps: int = 30000
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    marker_lr: float = 0.05
+    kp_score_lr: float = 0.05
+    scaling_lr: float = 0.001
+    rotation_lr: float = 0.001
+    # rasterizer
+    tile_size: int = 16
+    max_per_tile: int = 1024
+    tile_chunk: int = 32
+    # insertion budgets
+    kp_budget: int = 16384
+    nonkp_budget: int = 8192
+    pcd_downsample: int = 64
+    point_size: float = 0.05
+    adaptive_pointsize: bool = True
+
+    def raster_config(self) -> RasterConfig:
+        return RasterConfig(tile_size=self.tile_size,
+                            max_per_tile=self.max_per_tile,
+                            tile_chunk=self.tile_chunk)
+
+    def opt_lr_dict(self) -> dict:
+        return {
+            "position_lr_init": self.position_lr_init,
+            "position_lr_final": self.position_lr_final,
+            "position_lr_delay_mult": self.position_lr_delay_mult,
+            "position_lr_max_steps": self.position_lr_max_steps,
+            "feature_lr": self.feature_lr,
+            "opacity_lr": self.opacity_lr,
+            "marker_lr": self.marker_lr,
+            "kp_score_lr": self.kp_score_lr,
+            "scaling_lr": self.scaling_lr,
+            "rotation_lr": self.rotation_lr,
+        }
+
+    @classmethod
+    def from_config(cls, config: dict) -> "MappingConfig":
+        """Build from a reference-schema YAML config dict."""
+        cal = config["Dataset"]["Calibration"]
+        tr = config["Training"]
+        op = config["opt_params"]
+        return cls(
+            width=cal["width"], height=cal["height"],
+            fx=cal["fx"], fy=cal["fy"], cx=cal["cx"], cy=cal["cy"],
+            window_size=tr["window_size"],
+            rgb_boundary_threshold=tr["rgb_boundary_threshold"],
+            primitive_reg=tr["primitive_reg"],
+            gaussian_update_every=tr["gaussian_update_every"],
+            gaussian_update_offset=tr["gaussian_update_offset"],
+            gaussian_th=tr["gaussian_th"],
+            gaussian_extent=6.0 * tr["gaussian_extent"],
+            gaussian_reset=tr["gaussian_reset"],
+            size_threshold=tr["size_threshold"],
+            sh_degree=3 if tr.get("spherical_harmonics") else 0,
+            densify_grad_threshold=op["densify_grad_threshold"],
+            percent_dense=op["percent_dense"],
+            lambda_dssim=op["lambda_dssim"],
+            position_lr_init=op["position_lr_init"],
+            position_lr_final=op["position_lr_final"],
+            position_lr_delay_mult=op["position_lr_delay_mult"],
+            position_lr_max_steps=op["position_lr_max_steps"],
+            feature_lr=op["feature_lr"],
+            opacity_lr=op["opacity_lr"],
+            marker_lr=op["marker_lr"],
+            kp_score_lr=op["kp_score_lr"],
+            scaling_lr=op["scaling_lr"],
+            rotation_lr=op["rotation_lr"],
+            pcd_downsample=config["Dataset"]["pcd_downsample"],
+            point_size=config["Dataset"]["point_size"],
+            adaptive_pointsize=config["Dataset"].get("adaptive_pointsize", True),
+        )
+
+
+def _render_view(scene: GaussianScene, frame: dict, offset: jax.Array,
+                 cfg: MappingConfig):
+    """Render one keyframe view with SH->RGB conversion + kp channel."""
+    from splatloc_tpu.core import sh as sh_mod
+    cam = Camera.create(frame["w2c"], cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+                        cfg.width, cfg.height)
+    rgb = sh_mod.sh_to_color(cfg.sh_degree, scene.features(), scene.xyz,
+                             cam.camera_center)
+    colors = jnp.concatenate([rgb, scene.kp_score], axis=-1)
+    out = rasterize(scene.xyz, scene.scaling_activated(), scene.rotation,
+                    scene.opacity_activated(), colors, cam,
+                    cfg.raster_config(), alive=scene.alive,
+                    means2d_offset=offset)
+    return out
+
+
+def make_mapping_step(cfg: MappingConfig):
+    """Build the jitted mapping step (train_gaussians.py map() body)."""
+
+    @jax.jit
+    def step_fn(scene: GaussianScene, opt_state: optim.AdamState,
+                stats: densify.DensifyStats, frames: dict, step: jax.Array):
+        M = scene.capacity
+        V = frames["w2c"].shape[0]
+
+        def loss_fn(params, offsets):
+            sc = scene.with_params(params)
+
+            def one(frame, off):
+                out = _render_view(sc, frame, off, cfg)
+                gt_rgb = frame["rgb"].astype(jnp.float32) / 255.0
+                gt_depth = frame["depth_mm"].astype(jnp.float32) / 1000.0
+                gt_score = frame["score"].astype(jnp.float32)
+                l = losses.mapping_loss(out.image[..., :3], out.depth, gt_rgb,
+                                        gt_depth, frame["exposure"][0],
+                                        frame["exposure"][1],
+                                        cfg.rgb_boundary_threshold)
+                l = l + losses.marker_loss(out.image[..., 3], gt_score)
+                return l, out.radii
+
+            ls, radii = jax.vmap(one)(frames, offsets)
+            loss = jnp.sum(ls)
+            iso = losses.isotropic_loss(jnp.exp(params["scaling"]),
+                                        params["marker"][:, 0], scene.alive,
+                                        cfg.marker_thresh)
+            if cfg.primitive_reg:
+                loss = loss + cfg.isotropic_weight * iso
+            return loss, radii
+
+        offsets = jnp.zeros((V, M, 2), jnp.float32)
+        (loss, radii), (grads, off_grads) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(scene.params(), offsets)
+
+        # densification stats per view (train_gaussians.py:239-245)
+        for v in range(cfg.window_size):
+            stats = densify.add_stats(stats, off_grads[v], radii[v],
+                                      cfg.width, cfg.height)
+        vis_union = jnp.any(radii > 0, axis=0)
+
+        # key-primitive xyz freeze (train_gaussians.py:231-234)
+        if cfg.primitive_reg:
+            key = scene.marker[:, 0] > cfg.marker_thresh
+            grads["xyz"] = jnp.where(key[:, None], 0.0, grads["xyz"])
+        # marker carries no gradient anywhere (detached at all uses)
+        grads["marker"] = jnp.zeros_like(grads["marker"])
+
+        lrs = optim.make_lrs(
+            {**cfg.opt_lr_dict()}, cfg.spatial_lr_scale, step)
+        params, opt_state = optim.update(scene.params(), grads, opt_state, lrs)
+        scene = scene.with_params(params)
+        return scene, opt_state, stats, loss, vis_union
+
+    return step_fn
+
+
+def make_refinement_step(cfg: MappingConfig):
+    """Build the jitted color-refinement step (train_gaussians.py:269-297)."""
+
+    @jax.jit
+    def step_fn(scene: GaussianScene, opt_state: optim.AdamState,
+                frame: dict, step: jax.Array):
+        def loss_fn(params):
+            sc = scene.with_params(params)
+            out = _render_view(sc, frame, None, cfg)
+            gt_rgb = frame["rgb"].astype(jnp.float32) / 255.0
+            return losses.refinement_loss(out.image[..., :3], gt_rgb,
+                                          cfg.lambda_dssim)
+
+        loss, grads = jax.value_and_grad(loss_fn)(scene.params())
+        if cfg.primitive_reg:
+            key = scene.marker[:, 0] > cfg.marker_thresh
+            grads["xyz"] = jnp.where(key[:, None], 0.0, grads["xyz"])
+        grads["marker"] = jnp.zeros_like(grads["marker"])
+        lrs = optim.make_lrs(cfg.opt_lr_dict(), cfg.spatial_lr_scale, step)
+        params, opt_state = optim.update(scene.params(), grads, opt_state, lrs)
+        return scene.with_params(params), opt_state, loss
+
+    return step_fn
+
+
+class MappingTrainer:
+    """Host-side orchestrator mirroring SplatLoc.do_recon control flow."""
+
+    def __init__(self, cfg: MappingConfig, capacity: int = 2 ** 17,
+                 frame_capacity: int = 512, seed: int = 0):
+        self.cfg = cfg
+        self.scene = GaussianScene.empty(capacity, cfg.sh_degree)
+        self.opt_state = optim.init(self.scene.params())
+        self.stats = densify.DensifyStats.zeros(capacity)
+        self.frames = FrameStore(frame_capacity, cfg.height, cfg.width)
+        self.iteration = 0
+        self.rng = jax.random.PRNGKey(seed)
+        self.host_rng = np.random.default_rng(seed)
+        self._mapping_step = make_mapping_step(cfg)
+        self._refine_step = make_refinement_step(cfg)
+        self.camera = Camera.create(np.eye(4, dtype=np.float32), cfg.fx,
+                                    cfg.fy, cfg.cx, cfg.cy, cfg.width,
+                                    cfg.height)
+
+    def _next_rng(self):
+        self.rng, k = jax.random.split(self.rng)
+        return k
+
+    # -- keyframe ingestion -------------------------------------------
+
+    def add_keyframe(self, rgb: np.ndarray, depth: np.ndarray,
+                     score: np.ndarray, w2c: np.ndarray) -> int:
+        """Store the frame and extend the scene from its RGB-D point cloud
+        (reference add_next_kf; depth pixels with dark rgb are zeroed like
+        load_depth, train_gaussians.py:299-308)."""
+        rgbf = rgb.astype(np.float32)
+        if rgbf.max() > 1.5:
+            rgbf = rgbf / 255.0
+        valid_rgb = rgbf.sum(-1) > self.cfg.rgb_boundary_threshold
+        depth = np.where(valid_rgb, depth, 0.0).astype(np.float32)
+        idx = self.frames.append(rgbf, depth, score, w2c)
+
+        self._maybe_grow()
+        cam = self.camera.replace_pose(jnp.asarray(w2c))
+        self.scene, self.opt_state, n = init_rgbd.add_frame(
+            self.scene, self.opt_state, jnp.asarray(rgbf),
+            jnp.asarray(depth), jnp.asarray(score.astype(np.float32)), cam,
+            self._next_rng(), kp_budget=self.cfg.kp_budget,
+            nonkp_budget=self.cfg.nonkp_budget,
+            downsample=self.cfg.pcd_downsample,
+            point_size=self.cfg.point_size,
+            adaptive_pointsize=self.cfg.adaptive_pointsize)
+        return idx
+
+    def _maybe_grow(self):
+        cap = self.scene.capacity
+        alive = int(self.scene.num_alive)
+        if alive > 0.75 * cap:
+            new_cap = cap * 2
+            pad = new_cap - cap
+
+            def grow(x):
+                return jnp.concatenate(
+                    [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+
+            empty = GaussianScene.empty(new_cap, self.cfg.sh_degree)
+            fields = {}
+            for k in GaussianScene.PARAM_FIELDS:
+                fields[k] = jnp.concatenate(
+                    [getattr(self.scene, k), getattr(empty, k)[cap:]], axis=0)
+            self.scene = self.scene.replace(
+                alive=grow(self.scene.alive), **fields)
+            self.opt_state = self.opt_state.replace(
+                m=jax.tree.map(grow, self.opt_state.m),
+                v=jax.tree.map(grow, self.opt_state.v))
+            self.stats = densify.DensifyStats.zeros(new_cap)
+
+    # -- optimization -------------------------------------------------
+
+    def map(self, iters: int):
+        """The reference map() loop: per iteration, a random window of
+        keyframes, a gradient step, scheduled densify / opacity reset."""
+        cfg = self.cfg
+        n = self.frames.n
+        V = cfg.window_size
+        for _ in range(iters):
+            self.iteration += 1
+            idx = self.host_rng.permutation(n)[:V]
+            if len(idx) < V:   # repeat frames if fewer than window
+                idx = np.resize(idx, V)
+            frames = self.frames.gather(jnp.asarray(idx))
+            self.scene, self.opt_state, self.stats, loss, vis_union = (
+                self._mapping_step(self.scene, self.opt_state, self.stats,
+                                   frames, jnp.asarray(self.iteration)))
+
+            update = (self.iteration % cfg.gaussian_update_every
+                      == cfg.gaussian_update_offset)
+            if update:
+                self._maybe_grow()
+                self.scene, self.stats, self.opt_state, info = (
+                    densify.densify_and_prune(
+                        self.scene, self.stats, self.opt_state,
+                        self._next_rng(),
+                        max_grad=cfg.densify_grad_threshold,
+                        min_opacity=cfg.gaussian_th,
+                        extent=cfg.gaussian_extent,
+                        max_screen_size=cfg.size_threshold,
+                        percent_dense=cfg.percent_dense,
+                        primitive_reg=cfg.primitive_reg,
+                        marker_thresh=cfg.marker_thresh))
+            elif self.iteration % cfg.gaussian_reset == 0:
+                self.scene, self.opt_state = densify.reset_opacity_nonvisible(
+                    self.scene, self.opt_state, vis_union)
+        return float(loss)
+
+    def color_refinement(self, total_iters: int = 26000, log_every: int = 0):
+        """L1+D-SSIM polishing over random keyframes
+        (train_gaussians.py:269-297; LR schedule restarts from 1)."""
+        last = None
+        for it in range(1, total_iters + 1):
+            i = int(self.host_rng.integers(0, self.frames.n))
+            frame = self.frames.gather(jnp.asarray([i]))
+            frame = jax.tree.map(lambda x: x[0], frame)
+            self.scene, self.opt_state, last = self._refine_step(
+                self.scene, self.opt_state, frame, jnp.asarray(it))
+            if log_every and it % log_every == 0:
+                print(f"refine {it}: loss {float(last):.5f}")
+        return None if last is None else float(last)

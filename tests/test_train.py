@@ -1,0 +1,133 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatloc_tpu.core.camera import Camera
+from splatloc_tpu.train import losses
+from splatloc_tpu.train.mapping import FrameStore, MappingConfig, MappingTrainer
+
+
+def test_ssim_identity(rng):
+    img = jnp.asarray(rng.uniform(0, 1, (32, 32, 3)).astype(np.float32))
+    assert float(losses.ssim(img, img)) > 0.9999
+    noisy = img + 0.2 * jnp.asarray(rng.normal(size=(32, 32, 3)).astype(np.float32))
+    assert float(losses.ssim(img, noisy)) < 0.9
+
+
+def test_mapping_loss_masks(rng):
+    H, W = 8, 8
+    img = jnp.asarray(rng.uniform(0.2, 1, (H, W, 3)).astype(np.float32))
+    depth = jnp.full((H, W), 2.0)
+    # black gt pixels are masked out of rgb; zero gt depth masked out of depth
+    gt_img = img.at[0, :, :].set(0.0)
+    gt_depth = depth.at[1, :].set(0.0)
+    base = losses.mapping_loss(img, depth, gt_img, gt_depth, 0.0, 0.0)
+    # perturbing the prediction at masked pixels must not change the loss
+    img2 = img.at[0, :, :].add(10.0)
+    depth2 = depth.at[1, :].add(5.0)
+    pert = losses.mapping_loss(img2, depth2, gt_img, gt_depth, 0.0, 0.0)
+    np.testing.assert_allclose(float(base), float(pert), atol=1e-6)
+
+
+def test_marker_loss_targets():
+    logits = jnp.full((4, 4), 10.0)    # sigmoid ~ 1
+    assert float(losses.marker_loss(logits, jnp.ones((4, 4)))) < 1e-3
+    assert float(losses.marker_loss(logits, jnp.zeros((4, 4)))) > 5.0
+
+
+def test_isotropic_loss_on_target():
+    n = 6
+    marker = jnp.array([0.5, 0.5, 0.0, 0.0, 0.9, 0.0])
+    alive = jnp.ones((n,), bool)
+    # key primitives at exactly the target size 0.02*(1-marker) => loss 0
+    scale = jnp.tile((0.02 * (1 - marker))[:, None], (1, 3))
+    assert float(losses.isotropic_loss(scale, marker, alive)) < 1e-6
+    scale2 = scale * 2.0
+    assert float(losses.isotropic_loss(scale2, marker, alive)) > 0.5
+
+
+def _synthetic_frames(rng, cfg, n_frames=3):
+    """RGB-D frames of a fixed random particle scene viewed from slightly
+    different poses (points rendered as squares via nearest-pixel splat)."""
+    n_pts = 120
+    pts = np.stack([
+        rng.uniform(-1.2, 1.2, n_pts), rng.uniform(-0.9, 0.9, n_pts),
+        rng.uniform(2.0, 4.0, n_pts)], -1).astype(np.float32)
+    cols = rng.uniform(0.2, 1.0, (n_pts, 3)).astype(np.float32)
+    frames = []
+    for i in range(n_frames):
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[0, 3] = 0.05 * i
+        cam = Camera.create(w2c, cfg.fx, cfg.fy, cfg.cx, cfg.cy,
+                            cfg.width, cfg.height)
+        uv, z = cam.project(jnp.asarray(pts))
+        uv = np.asarray(uv).round().astype(int)
+        z = np.asarray(z)
+        rgb = np.full((cfg.height, cfg.width, 3), 0.3, np.float32)
+        dep = np.full((cfg.height, cfg.width), 3.0, np.float32)
+        order = np.argsort(-z)
+        for j in order:
+            u, v = uv[j]
+            if 1 <= u < cfg.width - 1 and 1 <= v < cfg.height - 1:
+                rgb[v - 1:v + 2, u - 1:u + 2] = cols[j]
+                dep[v - 1:v + 2, u - 1:u + 2] = z[j]
+        score = np.zeros((cfg.height, cfg.width), np.float32)
+        score[::7, ::7] = 0.5
+        frames.append((rgb, dep, score, w2c))
+    return frames
+
+
+def test_mapping_trainer_end_to_end(rng):
+    """Full mapping slice: add keyframes, optimize, PSNR must improve, then
+    color refinement must improve it further."""
+    # densify once at iter 35 with a mild opacity threshold (the reference's
+    # 0.7-at-iter-50 schedule assumes opacities had ~50 iters of lr=0.05 to
+    # rise; this small test run densifies earlier)
+    cfg = MappingConfig(width=48, height=36, fx=40.0, fy=40.0, cx=24.0,
+                        cy=18.0, window_size=2, tile_chunk=3,
+                        max_per_tile=256, kp_budget=64, nonkp_budget=512,
+                        pcd_downsample=2, gaussian_update_every=40,
+                        gaussian_update_offset=35, gaussian_th=0.3,
+                        gaussian_reset=10 ** 9)
+    trainer = MappingTrainer(cfg, capacity=4096, frame_capacity=8)
+    frames = _synthetic_frames(rng, cfg)
+
+    def psnr():
+        from splatloc_tpu.raster import render
+        rgb, dep, score, w2c = frames[0]
+        cam = trainer.camera.replace_pose(jnp.asarray(w2c))
+        out = render(trainer.scene, cam, cfg.raster_config())
+        mse = float(jnp.mean((out["render"] - jnp.asarray(rgb)) ** 2))
+        return -10 * np.log10(mse + 1e-12)
+
+    for rgb, dep, score, w2c in frames:
+        trainer.add_keyframe(rgb, dep, score, w2c)
+    assert int(trainer.scene.num_alive) > 100
+    p0 = psnr()
+    l0 = trainer.map(iters=1)
+    trainer.map(iters=39)
+    l1 = trainer.map(iters=1)
+    p1 = psnr()
+    # init is already image-colored, so gains are modest at 40 iters with the
+    # reference LRs — require a real descent plus PSNR improvement
+    assert l1 < 0.8 * l0, (l0, l1)
+    assert p1 > p0 + 0.3, (p0, p1)
+    trainer.color_refinement(total_iters=20)
+    p2 = psnr()
+    assert p2 > p1 - 0.5  # refinement must not regress
+
+
+def test_framestore_roundtrip(rng):
+    fs = FrameStore(4, 8, 8)
+    rgb = rng.uniform(0, 1, (8, 8, 3)).astype(np.float32)
+    depth = rng.uniform(0.5, 3, (8, 8)).astype(np.float32)
+    score = rng.uniform(0, 1, (8, 8)).astype(np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    fs.append(rgb, depth, score, w2c)
+    got = fs.gather(jnp.asarray([0]))
+    np.testing.assert_allclose(np.asarray(got["rgb"][0]) / 255.0, rgb,
+                               atol=1 / 255.0)
+    np.testing.assert_allclose(np.asarray(got["depth_mm"][0]) / 1000.0, depth,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got["score"][0]).astype(np.float32),
+                               score, atol=1e-3)
