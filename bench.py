@@ -39,7 +39,7 @@ def main():
 
     cam = Camera.create(np.eye(4, dtype=np.float32), 320.0, 320.0,
                         W / 2, H / 2, W, H)
-    cfg = RasterConfig(tile_size=16, max_per_tile=1024, tile_chunk=64)
+    cfg = RasterConfig(tile_size=16, max_per_tile=1024, tile_chunk=64, use_pallas=True)
 
     args = tuple(map(jnp.asarray, (means, scales, quats, opac, colors)))
     tgt = jnp.asarray(target)

@@ -116,13 +116,19 @@ def skew(v: jax.Array) -> jax.Array:
 
 
 def so3_exp(w: jax.Array) -> jax.Array:
-    """Axis-angle [...,3] -> rotation matrix via Rodrigues (utils/cam.py:154-175)."""
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]  # [...,1,1]
-    K = skew(w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), _EPS))
+    """Axis-angle [...,3] -> rotation matrix via Rodrigues (utils/cam.py:154-175).
+
+    NaN-safe under autodiff at theta=0: the untaken branch is computed with a
+    sanitized theta (double-where pattern), so jacobians at w=0 are the exact
+    generator derivatives rather than NaN.
+    """
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]  # [...,1,1]
+    small = theta2 < 1e-14
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    K = skew(w) / theta
     eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), K.shape)
     R = eye + jnp.sin(theta) * K + (1 - jnp.cos(theta)) * (K @ K)
     # Taylor fallback at theta ~ 0 (exp(w) ~ I + skew(w))
-    small = theta < 1e-7
     return jnp.where(small, eye + skew(w), R)
 
 
@@ -146,16 +152,19 @@ def se3_exp(xi: jax.Array) -> jax.Array:
     """Twist [...,6] (rho, omega) -> 4x4 rigid transform.
 
     Used by the render-loss 6-DoF pose refinement: pose update is
-    ``T_new = se3_exp(delta) @ T``.
+    ``T_new = se3_exp(delta) @ T``. NaN-safe jacobians at xi=0 (see so3_exp).
     """
     rho, w = xi[..., :3], xi[..., 3:]
-    theta = jnp.linalg.norm(w, axis=-1, keepdims=True)[..., None]
-    K = skew(w / jnp.maximum(jnp.linalg.norm(w, axis=-1, keepdims=True), _EPS))
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
+    small = theta2 < 1e-14
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    K = skew(w) / theta
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), K.shape)
     R = so3_exp(w)
-    V = (eye + (1 - jnp.cos(theta)) / jnp.maximum(theta, 1e-12) * K
-         + (theta - jnp.sin(theta)) / jnp.maximum(theta, 1e-12) * (K @ K))
-    V = jnp.where(theta < 1e-7, eye, V)
+    V = (eye + (1 - jnp.cos(theta)) / theta * K
+         + (theta - jnp.sin(theta)) / theta * (K @ K))
+    # Taylor at 0: V ~ I + skew(w)/2
+    V = jnp.where(small, eye + 0.5 * skew(w), V)
     t = (V @ rho[..., None])[..., 0]
     top = jnp.concatenate([R, t[..., None]], axis=-1)
     bottom = jnp.broadcast_to(

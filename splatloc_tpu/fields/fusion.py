@@ -1,0 +1,188 @@
+"""TSDF fusion of RGB-D frames + 3D feature-cloud extraction.
+
+Functional equivalent of the reference TSDFVolumeTorch
+(utils/fusion_utils.py:112-319) and gen_3d_fusion_feature
+(pre_process/gen_3d_fusion_feature.py:48-94), redesigned for accelerator
+memory: the reference keeps a dense [X,Y,Z,256] feature volume (CPU torch);
+we fuse geometry (tsdf/weight/color) densely, extract surface points from
+tsdf zero-crossings, then fuse the 256-d descriptors only at those points in
+a second pass over the frames. Surface extraction uses axis zero-crossings
+instead of marching cubes (skimage is not in this environment); the resulting
+cloud serves the same role (decoder supervision, sp_inloc_pc.ply contract).
+
+Everything is voxel/point-parallel gathers — no scatters.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class TSDFVolume:
+    origin: jax.Array        # [3] world coords of voxel (0,0,0) center
+    voxel_size: float
+    sdf_trunc: float
+    tsdf: jax.Array          # [X,Y,Z], init 1.0
+    weight: jax.Array        # [X,Y,Z]
+    color: jax.Array         # [X,Y,Z,3] 0..255
+
+    @classmethod
+    def create(cls, bound: np.ndarray, voxel_size: float, margin: int = 3):
+        """bound: [3,2] min/max in meters."""
+        bound = np.asarray(bound, np.float32)
+        dims = np.ceil((bound[:, 1] - bound[:, 0]) / voxel_size).astype(int)
+        X, Y, Z = (int(d) for d in dims)
+        return cls(origin=jnp.asarray(bound[:, 0]),
+                   voxel_size=float(voxel_size),
+                   sdf_trunc=margin * float(voxel_size),
+                   tsdf=jnp.ones((X, Y, Z), jnp.float32),
+                   weight=jnp.zeros((X, Y, Z), jnp.float32),
+                   color=jnp.zeros((X, Y, Z, 3), jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _integrate(tsdf, weight, color, origin, vs, trunc, depth, rgb255, K, c2w,
+               obs_weight):
+    """One frame into the volume. Mirrors the reference voxel-parallel
+    update: round-to-nearest pixel lookup, truncated SDF running average."""
+    X, Y, Z = tsdf.shape
+    H, W = depth.shape
+    gx = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 0)
+    gy = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 1)
+    gz = jax.lax.broadcasted_iota(jnp.float32, (X, Y, Z), 2)
+    world = jnp.stack([gx, gy, gz], -1) * vs + origin  # [X,Y,Z,3]
+
+    w2c = jnp.linalg.inv(c2w)
+    cam = world @ w2c[:3, :3].T + w2c[:3, 3]
+    z = cam[..., 2]
+    zs = jnp.where(z > 1e-6, z, 1.0)
+    px = jnp.round(cam[..., 0] * K[0, 0] / zs + K[0, 2]).astype(jnp.int32)
+    py = jnp.round(cam[..., 1] * K[1, 1] / zs + K[1, 2]).astype(jnp.int32)
+    inside = (px >= 0) & (px < W) & (py >= 0) & (py < H) & (z > 0)
+    pxc = jnp.clip(px, 0, W - 1)
+    pyc = jnp.clip(py, 0, H - 1)
+    d = depth[pyc, pxc]
+    diff = d - z
+    dist = jnp.minimum(diff / trunc, 1.0)
+    valid = inside & (d > 0) & (diff >= -trunc)
+
+    w_old = weight
+    w_new = jnp.where(valid, w_old + obs_weight, w_old)
+    denom = jnp.maximum(w_new, 1e-9)
+    tsdf_new = jnp.where(valid,
+                         (w_old * tsdf + obs_weight * dist) / denom, tsdf)
+    c_new = rgb255[pyc, pxc]
+    color_new = jnp.where(valid[..., None],
+                          jnp.clip(jnp.round(
+                              (w_old[..., None] * color + obs_weight * c_new)
+                              / denom[..., None]), 0, 255), color)
+    return tsdf_new, w_new, color_new
+
+
+def integrate_frame(vol: TSDFVolume, depth: np.ndarray, rgb: np.ndarray,
+                    K: np.ndarray, c2w: np.ndarray,
+                    obs_weight: float = 1.0) -> TSDFVolume:
+    """rgb in [0,1] or 0..255 float; depth metric."""
+    rgb255 = rgb * 255.0 if rgb.max() <= 1.5 else rgb
+    t, w, c = _integrate(vol.tsdf, vol.weight, vol.color, vol.origin,
+                         vol.voxel_size, vol.sdf_trunc,
+                         jnp.asarray(depth, jnp.float32),
+                         jnp.asarray(rgb255, jnp.float32),
+                         jnp.asarray(K, jnp.float32),
+                         jnp.asarray(c2w, jnp.float32),
+                         jnp.asarray(obs_weight, jnp.float32))
+    vol.tsdf, vol.weight, vol.color = t, w, c
+    return vol
+
+
+def extract_surface_points(vol: TSDFVolume, max_points: int = 500_000,
+                           min_weight: float = 1.0):
+    """Zero-crossing surface samples -> (points [P,3], colors [P,3] 0..1).
+
+    For each axis, adjacent voxel pairs with opposite tsdf sign (both
+    observed) yield a linearly interpolated surface point.
+    """
+    tsdf = np.asarray(vol.tsdf)
+    weight = np.asarray(vol.weight)
+    color = np.asarray(vol.color)
+    origin = np.asarray(vol.origin)
+    vs = vol.voxel_size
+    pts, cols = [], []
+    for axis in range(3):
+        a = tsdf
+        sl0 = [slice(None)] * 3
+        sl1 = [slice(None)] * 3
+        sl0[axis] = slice(0, -1)
+        sl1[axis] = slice(1, None)
+        t0, t1 = a[tuple(sl0)], a[tuple(sl1)]
+        w0, w1 = weight[tuple(sl0)], weight[tuple(sl1)]
+        cross = (t0 * t1 < 0) & (w0 >= min_weight) & (w1 >= min_weight)
+        idx = np.argwhere(cross)
+        if idx.size == 0:
+            continue
+        t0v = t0[cross]
+        t1v = t1[cross]
+        frac = t0v / np.maximum(t0v - t1v, 1e-9)
+        p = idx.astype(np.float32)
+        p[:, axis] += frac
+        pts.append(p * vs + origin)
+        c0 = color[tuple(sl0)][cross]
+        cols.append(c0 / 255.0)
+    if not pts:
+        return (np.zeros((0, 3), np.float32), np.zeros((0, 3), np.float32))
+    points = np.concatenate(pts, 0)
+    colors = np.concatenate(cols, 0)
+    if points.shape[0] > max_points:
+        sel = np.random.default_rng(0).choice(points.shape[0], max_points,
+                                              replace=False)
+        points, colors = points[sel], colors[sel]
+    return points.astype(np.float32), colors.astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _fuse_point_features(acc, wsum, pts, feat_hw, depth, K, w2c,
+                         depth_tol):
+    """Accumulate per-point features from one frame (weighted by visibility:
+    point must project inside and match the depth map within tol)."""
+    H, W = depth.shape
+    cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+    z = cam[:, 2]
+    zs = jnp.where(z > 1e-6, z, 1.0)
+    px = jnp.round(cam[:, 0] * K[0, 0] / zs + K[0, 2]).astype(jnp.int32)
+    py = jnp.round(cam[:, 1] * K[1, 1] / zs + K[1, 2]).astype(jnp.int32)
+    inside = (px >= 0) & (px < W) & (py >= 0) & (py < H) & (z > 0)
+    pxc = jnp.clip(px, 0, W - 1)
+    pyc = jnp.clip(py, 0, H - 1)
+    d = depth[pyc, pxc]
+    visible = inside & (d > 0) & (jnp.abs(d - z) < depth_tol)
+    f = feat_hw[pyc, pxc]                     # [P, D]
+    w = visible.astype(jnp.float32)
+    return acc + w[:, None] * f, wsum + w
+
+
+def fuse_point_features(points: np.ndarray, frames, K: np.ndarray,
+                        feat_dim: int, depth_tol: float = 0.05,
+                        min_weight: float = 1.0):
+    """Second pass: average dense descriptor maps onto the surface points.
+
+    frames: iterable of (feat_hw [H,W,D], depth [H,W], c2w [4,4]).
+    Returns (features [P,D] float32, weight [P]).
+    """
+    P = points.shape[0]
+    pts = jnp.asarray(points, jnp.float32)
+    acc = jnp.zeros((P, feat_dim), jnp.float32)
+    wsum = jnp.zeros((P,), jnp.float32)
+    Kj = jnp.asarray(K, jnp.float32)
+    for feat_hw, depth, c2w in frames:
+        w2c = jnp.linalg.inv(jnp.asarray(c2w, jnp.float32))
+        acc, wsum = _fuse_point_features(
+            acc, wsum, pts, jnp.asarray(feat_hw, jnp.float32),
+            jnp.asarray(depth, jnp.float32), Kj, w2c,
+            jnp.asarray(depth_tol, jnp.float32))
+    feats = np.asarray(acc) / np.maximum(np.asarray(wsum)[:, None], 1e-9)
+    return feats.astype(np.float32), np.asarray(wsum)

@@ -47,17 +47,29 @@ def rasterize(
         proj = proj.replace(xy=proj.xy + means2d_offset)
 
     order = binning.depth_sort(proj)
-    lists, _counts = binning.tile_lists(proj, order, camera.width,
-                                        camera.height, cfg)
 
-    image, depth, alpha = blend.blend_image(
-        lists,
-        proj.xy[order],
-        proj.conic[order],
-        opacities[order],
-        colors[order],
-        proj.depth[order],
-        camera.width, camera.height, cfg, bg)
+    if cfg.use_pallas:
+        from splatloc_tpu.raster import pallas_raster
+        interpret = jax.default_backend() == "cpu"
+        acc = pallas_raster.blend_pairs(
+            proj.xy[order], proj.conic[order], opacities[order],
+            proj.depth[order], colors[order],
+            jax.lax.stop_gradient(proj.radius[order]),
+            jax.lax.stop_gradient(proj.visible[order].astype(jnp.float32)),
+            camera.width, camera.height, cfg, interpret)
+        image, depth, alpha = pallas_raster.assemble_image(
+            acc, camera.width, camera.height, cfg, bg)
+    else:
+        lists, _counts = binning.tile_lists(proj, order, camera.width,
+                                            camera.height, cfg)
+        image, depth, alpha = blend.blend_image(
+            lists,
+            proj.xy[order],
+            proj.conic[order],
+            opacities[order],
+            colors[order],
+            proj.depth[order],
+            camera.width, camera.height, cfg, bg)
 
     return RenderOutput(image=image, depth=depth, alpha=alpha,
                         radii=proj.radius.astype(jnp.int32), means2d=proj.xy)

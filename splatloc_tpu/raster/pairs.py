@@ -1,0 +1,97 @@
+"""(Gaussian, tile) pair construction — the CUDA duplicate+sort binning,
+TPU-style.
+
+The reference CUDA rasterizer duplicates each Gaussian per touched tile and
+radix-sorts (tile | depth) keys. XLA:TPU's int32 sort is effectively free
+(~0.07 ms for 3M keys), so we pack ``tile_id << IDX_BITS | depth_rank`` into
+one int32, sort the padded [N * MAX_TILES] key array directly (invalid slots
+= INT32_MAX sort to the end), and read per-tile segments off the sorted array
+with one searchsorted. Depth order within a tile is automatic because
+depth_rank is the position in the depth-sorted arrays.
+
+Segments are NOT 128-aligned; the Pallas kernels DMA from the 128-aligned
+floor of each segment and mask pairs by a tile-id lane. The backward kernel
+accumulates boundary chunks read-modify-write (the TPU grid is sequential,
+so this is race-free).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatloc_tpu.raster.types import RasterConfig
+
+IDX_BITS = 20                       # supports N < 2^20 per shard
+IDX_MASK = (1 << IDX_BITS) - 1
+ALIGN = 128
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
+                                             "max_tiles", "pair_cap"))
+def build_pairs(xy, radius, visible, width: int, height: int,
+                cfg: RasterConfig, max_tiles: int = 36,
+                pair_cap: int | None = None):
+    """Inputs are depth-sorted per-Gaussian screen quantities.
+
+    Returns dict with:
+      pair_idx [PC]   int32 index into the depth-sorted Gaussian axis
+                      (N = padding sentinel; gathers must clamp)
+      starts   [T]    int32 segment start
+      counts   [T]    int32 pair count per tile (clamped at the cap)
+      n_dropped       int32 pairs lost to max_tiles truncation or pair_cap
+    """
+    ts = cfg.tile_size
+    gx = -(-width // ts)
+    gy = -(-height // ts)
+    T = gx * gy
+    N = xy.shape[0]
+    assert N < (1 << IDX_BITS), N
+    assert T < (1 << (31 - IDX_BITS)), T
+    if pair_cap is None:
+        pair_cap = 6 * N
+    pair_cap = int(np.ceil(pair_cap / ALIGN)) * ALIGN
+
+    u, v = xy[:, 0], xy[:, 1]
+    tsf = float(ts)
+    rminx = jnp.clip(jnp.floor((u - radius) / tsf), 0, gx).astype(jnp.int32)
+    rmaxx = jnp.clip(jnp.floor((u + radius + tsf - 1) / tsf), 0,
+                     gx).astype(jnp.int32)
+    rminy = jnp.clip(jnp.floor((v - radius) / tsf), 0, gy).astype(jnp.int32)
+    rmaxy = jnp.clip(jnp.floor((v + radius + tsf - 1) / tsf), 0,
+                     gy).astype(jnp.int32)
+    aw = rmaxx - rminx
+    ah = rmaxy - rminy
+    area = aw * ah
+
+    slot = jnp.arange(max_tiles, dtype=jnp.int32)
+    aw_s = jnp.maximum(aw, 1)[:, None]
+    dx = slot[None, :] % aw_s
+    dy = slot[None, :] // aw_s
+    tile = (rminy[:, None] + dy) * gx + rminx[:, None] + dx      # [N, MT]
+    ok = (slot[None, :] < area[:, None]) & (dy < ah[:, None]) & visible[:, None]
+
+    ridx = jnp.arange(N, dtype=jnp.int32)
+    key = jnp.where(ok, (tile << IDX_BITS) | ridx[:, None],
+                    jnp.int32(np.iinfo(np.int32).max))
+    n_trunc = jnp.sum(jnp.maximum(area - max_tiles, 0)
+                      * visible.astype(jnp.int32))
+
+    sorted_all = jnp.sort(key.reshape(-1))
+    tile_ids = jnp.arange(T + 1, dtype=jnp.int32)
+    bounds = jnp.searchsorted(sorted_all, tile_ids << IDX_BITS).astype(jnp.int32)
+    total_valid = bounds[T]
+    starts = jnp.minimum(bounds[:T], pair_cap)
+    ends = jnp.minimum(bounds[1:], pair_cap)
+    counts = ends - starts
+    n_dropped = n_trunc + (total_valid - jnp.sum(counts))
+
+    sorted_keys = sorted_all[:pair_cap]
+    pair_idx = (sorted_keys & IDX_MASK).astype(jnp.int32)
+    pair_idx = jnp.where(sorted_keys == np.iinfo(np.int32).max, N, pair_idx)
+    pair_tile = jnp.where(sorted_keys == np.iinfo(np.int32).max, T,
+                          sorted_keys >> IDX_BITS).astype(jnp.int32)
+    return {"pair_idx": pair_idx, "pair_tile": pair_tile, "starts": starts,
+            "counts": counts, "n_dropped": n_dropped}

@@ -1,0 +1,546 @@
+"""Pallas TPU rasterization core: pair-segment walk, forward + backward.
+
+The differentiable blend over sort-binned (Gaussian, tile) pairs
+(see pairs.py). Per tile, both kernels walk the tile's contiguous pair
+segment in [CHUNK]-sized slabs of attribute-major data:
+
+- forward: front-to-back compositing via lane-axis cumprod, MXU matmul for
+  the weighted accumulation, per-pixel early exit at transmittance_eps, and
+  a per-pixel ``n_contrib`` (last blended pair position) output for the
+  backward pass — the CUDA forward's last_contributor.
+- backward: reverse walk from the last contributing chunk, reconstructing
+  transmittance by division over *blended* pairs only (numerically safe, the
+  CUDA scheme) and producing analytic gradients for xy/conic/opacity/
+  depth/channels per pair; boundary chunks are accumulated read-modify-write
+  (the TPU grid is sequential). Per-pair gradients reduce to per-Gaussian
+  gradients by a second key sort + segmented cumsum — no large scatters
+  anywhere.
+
+``blend_pairs`` wraps the two in a jax.custom_vjp; everything upstream
+(projection, SH, activations, camera pose) stays ordinary JAX autodiff.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from splatloc_tpu.raster import pairs as pairs_mod
+from splatloc_tpu.raster.types import RasterConfig
+
+# attribute-major row layout of per-pair data
+R_X, R_Y, R_CA, R_CB, R_CC, R_OP, R_DEPTH, R_TILE = 0, 1, 2, 3, 4, 5, 6, 7
+N_FIXED = 8
+CHUNK = 512
+
+
+def _rows_for(c: int) -> int:
+    need = N_FIXED + c
+    return 16 if need <= 16 else 32
+
+
+def _row(g, j, rows, chunk):
+    """Extract row j of [rows, chunk] as [1, chunk] (Mosaic forbids
+    sublane-1 slices; masked sum-reduce is layout-friendly)."""
+    ri = jax.lax.broadcasted_iota(jnp.int32, (rows, chunk), 0)
+    return jnp.sum(jnp.where(ri == j, g, 0.0), axis=0, keepdims=True)
+
+
+def _cumprod_lanes(x, n: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < n:
+        x = x * jnp.where(lane >= k, pltpu.roll(x, k, 1), 1.0)
+        k *= 2
+    return x
+
+
+def _rcumprod_lanes(x, n: int):
+    """Reverse (suffix) inclusive cumprod along lanes (negative shifts are
+    expressed as circular rolls by n - k; pltpu.roll requires shift >= 0)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < n:
+        x = x * jnp.where(lane < n - k, pltpu.roll(x, n - k, 1), 1.0)
+        k *= 2
+    return x
+
+
+def _rcumsum_lanes(x, n: int):
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    k = 1
+    while k < n:
+        x = x + jnp.where(lane < n - k, pltpu.roll(x, n - k, 1), 0.0)
+        k *= 2
+    return x
+
+
+def _col_from(mat, k, P, lanes):
+    """Column k of [P, lanes] as [P, 1] via masked reduce."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (P, lanes), 1)
+    return jnp.sum(jnp.where(li == k, mat, 0.0), axis=1, keepdims=True)
+
+
+# --------------------------------------------------------------------------
+# forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
+                gpair_hbm,                                   # [rows, PC] HBM
+                out_ref,                                     # [1, P, OUT]
+                gbuf, gsem,                                  # scratch
+                *, ts, n_channels, rows, alpha_max, alpha_min, t_eps):
+    t = pl.program_id(0)
+    P = ts * ts
+    start = starts_ref[t]
+    count = counts_ref[t]
+    ox = origin_ref[2 * t]
+    oy = origin_ref[2 * t + 1]
+
+    lo = (start // CHUNK) * CHUNK
+    span = start + count - lo
+    nchunks = pl.cdiv(span, CHUNK)
+
+    flat = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (flat % ts).astype(jnp.float32) + ox.astype(jnp.float32)
+    py = (flat // ts).astype(jnp.float32) + oy.astype(jnp.float32)
+    tf = jnp.float32  # noqa
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            gpair_hbm.at[:, pl.ds(lo + j * CHUNK, CHUNK)],
+            gbuf.at[slot], gsem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    tile_f = t
+
+    def body(state):
+        j, t_carry, acc, ncontrib = state
+        slot = jax.lax.rem(j, 2)
+
+        @pl.when(j + 1 < nchunks)
+        def _():
+            get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+
+        get_dma(slot, j).wait()
+        g = gbuf[slot]
+
+        gxv = _row(g, R_X, rows, CHUNK)
+        gyv = _row(g, R_Y, rows, CHUNK)
+        ca = _row(g, R_CA, rows, CHUNK)
+        cb = _row(g, R_CB, rows, CHUNK)
+        cc = _row(g, R_CC, rows, CHUNK)
+        op = _row(g, R_OP, rows, CHUNK)
+        gtile = _row(g, R_TILE, rows, CHUNK)
+
+        # position of each pair in the global pair array
+        pos = (lo + j * CHUNK + lane1).astype(jnp.float32)
+        mine = (gtile == tile_f) & (pos >= start) & (pos < start + count)
+
+        dx = gxv - px
+        dy = gyv - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        alpha = jnp.minimum(op * jnp.exp(power), alpha_max)
+        keep = (power <= 0.0) & (alpha >= alpha_min) & mine
+        alpha = jnp.where(keep, alpha, 0.0)
+
+        one_m = 1.0 - alpha
+        t_inc = _cumprod_lanes(one_m, CHUNK) * t_carry       # [P, CHUNK]
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1) == 0
+        t_exc = jnp.where(lane0, jnp.broadcast_to(t_carry, (P, CHUNK)),
+                          pltpu.roll(t_inc, 1, 1))
+        live = t_inc >= t_eps
+        w = alpha * t_exc * jnp.where(live, 1.0, 0.0)
+
+        blended = live & (alpha > 0.0)
+        ncontrib = jnp.maximum(
+            ncontrib,
+            jnp.max(jnp.where(blended, jnp.broadcast_to(pos, (P, CHUNK)),
+                              -1.0), axis=1, keepdims=True))
+
+        attr_rows = [_row(g, N_FIXED + c, rows, CHUNK)
+                     for c in range(n_channels)]
+        attr_rows.append(_row(g, R_DEPTH, rows, CHUNK))
+        attr_rows.append(jnp.ones((1, CHUNK), jnp.float32))
+        attrs_ln = jnp.concatenate(attr_rows, axis=0)        # [OUT', CHUNK]
+        contrib = jax.lax.dot_general(
+            w, attrs_ln, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [P, OUT']
+        acc = acc + contrib
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1)
+        t_carry = jnp.max(jnp.where(lane == CHUNK - 1, t_inc, 0.0),
+                          axis=1, keepdims=True)
+        return j + 1, t_carry, acc, ncontrib
+
+    def cond(state):
+        j, t_carry, _, _ = state
+        return (j < nchunks) & (jnp.max(t_carry) >= t_eps)
+
+    t0 = jnp.ones((P, 1), jnp.float32)
+    acc0 = jnp.zeros((P, n_channels + 2), jnp.float32)
+    nc0 = jnp.full((P, 1), -1.0, jnp.float32)
+    j_end, _, acc, ncontrib = jax.lax.while_loop(cond, body,
+                                                 (0, t0, acc0, nc0))
+
+    @pl.when((j_end > 0) & (j_end < nchunks))
+    def _():
+        get_dma(jax.lax.rem(j_end, 2), j_end).wait()
+
+    out_ref[0] = jnp.concatenate([acc, ncontrib], axis=1)
+
+
+# --------------------------------------------------------------------------
+# backward kernel
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
+                gpair_hbm, fwd_ref, cot_ref, gzero_hbm,      # inputs
+                gout_hbm,                                    # [rows, PC] HBM
+                gbuf, wbuf, gsem, wsem,                      # scratch
+                *, ts, n_channels, rows, alpha_max, alpha_min, t_eps):
+    del gzero_hbm  # aliased to gout_hbm; only here to init it with zeros
+    t = pl.program_id(0)
+    P = ts * ts
+    OUTP = n_channels + 2
+    start = starts_ref[t]
+    count = counts_ref[t]
+    ox = origin_ref[2 * t]
+    oy = origin_ref[2 * t + 1]
+
+    lo = (start // CHUNK) * CHUNK
+    span = start + count - lo
+    nchunks = pl.cdiv(span, CHUNK)
+
+    flat = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (flat % ts).astype(jnp.float32) + ox.astype(jnp.float32)
+    py = (flat // ts).astype(jnp.float32) + oy.astype(jnp.float32)
+
+    fwd = fwd_ref[0]                                         # [P, OUT'+1]
+    cot = cot_ref[0]                                         # [P, OUT']
+    alpha_sum = _col_from(fwd, n_channels + 1, P, OUTP + 1)
+    ncontrib = _col_from(fwd, n_channels + 2, P, OUTP + 1)
+    t_final = 1.0 - alpha_sum                                # [P, 1]
+
+    def get_dma(slot, j):
+        return pltpu.make_async_copy(
+            gpair_hbm.at[:, pl.ds(lo + j * CHUNK, CHUNK)],
+            gbuf.at[slot], gsem.at[slot])
+
+    def read_grad(slot, j):
+        return pltpu.make_async_copy(
+            gout_hbm.at[:, pl.ds(lo + j * CHUNK, CHUNK)],
+            wbuf.at[slot], wsem.at[slot])
+
+    def write_grad(slot, j):
+        return pltpu.make_async_copy(
+            wbuf.at[slot], gout_hbm.at[:, pl.ds(lo + j * CHUNK, CHUNK)],
+            wsem.at[slot])
+
+    # start from the last chunk that contains any contributor
+    max_pos = jnp.max(ncontrib).astype(jnp.int32)
+    j_hi = jnp.where(max_pos < 0, -1,
+                     jnp.minimum((max_pos - lo) // CHUNK, nchunks - 1))
+
+    @pl.when(j_hi >= 0)
+    def _():
+        get_dma(0, j_hi).start()
+        read_grad(0, j_hi).start()
+
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+    tile_f = t
+
+    def body(state):
+        j, t_end, s_end = state
+        slot = jax.lax.rem(j_hi - j, 2)
+
+        @pl.when(j - 1 >= 0)
+        def _():
+            get_dma(jax.lax.rem(j_hi - (j - 1), 2), j - 1).start()
+            read_grad(jax.lax.rem(j_hi - (j - 1), 2), j - 1).start()
+
+        get_dma(slot, j).wait()
+        read_grad(slot, j).wait()
+        g = gbuf[slot]
+
+        gxv = _row(g, R_X, rows, CHUNK)
+        gyv = _row(g, R_Y, rows, CHUNK)
+        ca = _row(g, R_CA, rows, CHUNK)
+        cb = _row(g, R_CB, rows, CHUNK)
+        cc = _row(g, R_CC, rows, CHUNK)
+        op = _row(g, R_OP, rows, CHUNK)
+        gtile = _row(g, R_TILE, rows, CHUNK)
+
+        pos = (lo + j * CHUNK + lane1).astype(jnp.float32)
+        mine = (gtile == tile_f) & (pos >= start) & (pos < start + count)
+
+        dx = gxv - px
+        dy = gyv - py
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        e = jnp.exp(power)
+        raw = op * e
+        alpha = jnp.minimum(raw, alpha_max)
+        keep = (power <= 0.0) & (alpha >= alpha_min) & mine
+        alpha = jnp.where(keep, alpha, 0.0)
+
+        b = keep & (jnp.broadcast_to(pos, (P, CHUNK)) <= ncontrib)
+        one_m_eff = jnp.where(b, 1.0 - alpha, 1.0)
+        rprod = _rcumprod_lanes(one_m_eff, CHUNK)            # suffix incl
+        t_exc = t_end / rprod                                # [P, CHUNK]
+
+        attr_rows = [_row(g, N_FIXED + c, rows, CHUNK)
+                     for c in range(n_channels)]
+        attr_rows.append(_row(g, R_DEPTH, rows, CHUNK))
+        attr_rows.append(jnp.ones((1, CHUNK), jnp.float32))
+        attrs_ln = jnp.concatenate(attr_rows, axis=0)        # [OUT', CHUNK]
+
+        # u = dL/dw per (pixel, pair): cot [P, OUT'] @ attrs_ln [OUT', CHUNK]
+        u = jax.lax.dot_general(
+            cot, attrs_ln, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [P, CHUNK]
+
+        bw = jnp.where(b, 1.0, 0.0)
+        w = bw * alpha * t_exc
+        wu = w * u
+        s_in = s_end + (_rcumsum_lanes(wu, CHUNK) - wu)      # exclusive suffix
+        one_m = 1.0 - alpha
+        dalpha = bw * (t_exc * u - s_in / one_m)
+        not_clamped = jnp.where(raw < alpha_max, 1.0, 0.0)
+        dpower = dalpha * alpha * not_clamped
+        dop_pix = dalpha * e * not_clamped
+
+        # per-pair parameter grads: reduce over pixels (sublanes)
+        def rsum(x):
+            return jnp.sum(x, axis=0, keepdims=True)          # [1, CHUNK]
+
+        d_gx = rsum(dpower * (-(ca * dx + cb * dy)))
+        d_gy = rsum(dpower * (-(cc * dy + cb * dx)))
+        d_ca = rsum(dpower * (-0.5 * dx * dx))
+        d_cb = rsum(dpower * (-dx * dy))
+        d_cc = rsum(dpower * (-0.5 * dy * dy))
+        d_op = rsum(dop_pix)
+
+        # channel + depth grads: [OUT', CHUNK] in one MXU op
+        d_attrs = jax.lax.dot_general(
+            cot, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [OUT', CHUNK]
+
+        ri = jax.lax.broadcasted_iota(jnp.int32, (rows, CHUNK), 0)
+        upd = jnp.zeros((rows, CHUNK), jnp.float32)
+        for row_id, val in ((R_X, d_gx), (R_Y, d_gy), (R_CA, d_ca),
+                            (R_CB, d_cb), (R_CC, d_cc), (R_OP, d_op)):
+            upd = upd + jnp.where(ri == row_id,
+                                  jnp.broadcast_to(val, (rows, CHUNK)), 0.0)
+        # depth grad is d_attrs row n_channels; channel c -> row N_FIXED + c
+        li2 = jax.lax.broadcasted_iota(jnp.int32, (OUTP, CHUNK), 0)
+        d_depth = jnp.sum(jnp.where(li2 == n_channels, d_attrs, 0.0),
+                          axis=0, keepdims=True)
+        upd = upd + jnp.where(ri == R_DEPTH,
+                              jnp.broadcast_to(d_depth, (rows, CHUNK)), 0.0)
+        for c in range(n_channels):
+            d_c = jnp.sum(jnp.where(li2 == c, d_attrs, 0.0),
+                          axis=0, keepdims=True)
+            upd = upd + jnp.where(ri == N_FIXED + c,
+                                  jnp.broadcast_to(d_c, (rows, CHUNK)), 0.0)
+
+        wbuf[slot] = wbuf[slot] + upd
+        write_grad(slot, j).start()
+        write_grad(slot, j).wait()
+
+        # carries
+        lane0 = jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1) == 0
+        rprod_all = jnp.max(jnp.where(lane0, rprod, 0.0), axis=1,
+                            keepdims=True)
+        t_end = t_end / rprod_all
+        s_end = s_end + jnp.sum(wu, axis=1, keepdims=True)
+        return j - 1, t_end, s_end
+
+    def cond(state):
+        j, _, _ = state
+        return j >= 0
+
+    jax.lax.while_loop(cond, body, (j_hi, t_final, jnp.zeros((P, 1),
+                                                            jnp.float32)))
+
+
+# --------------------------------------------------------------------------
+# host-side wrappers + custom VJP
+# --------------------------------------------------------------------------
+
+def _pack_sorted(xy, conic, opacity, depth, colors, tile_of_pair, pair_idx):
+    """Gather per-pair attribute-major data [rows, PC]; index N -> zeros."""
+    n = xy.shape[0]
+    c = colors.shape[-1]
+    rows = _rows_for(c)
+    per_g = jnp.zeros((rows, n + 1), jnp.float32)
+    per_g = per_g.at[R_X, :n].set(xy[:, 0])
+    per_g = per_g.at[R_Y, :n].set(xy[:, 1])
+    per_g = per_g.at[R_CA, :n].set(conic[:, 0])
+    per_g = per_g.at[R_CB, :n].set(conic[:, 1])
+    per_g = per_g.at[R_CC, :n].set(conic[:, 2])
+    per_g = per_g.at[R_OP, :n].set(opacity)
+    per_g = per_g.at[R_DEPTH, :n].set(depth)
+    per_g = per_g.at[N_FIXED:N_FIXED + c, :n].set(colors.T)
+    gp = jnp.take(per_g, pair_idx, axis=1)                   # [rows, PC]
+    gp = gp.at[R_TILE, :].set(tile_of_pair.astype(jnp.float32))
+    return gp
+
+
+def _origins(width, height, ts):
+    gx = -(-width // ts)
+    gy = -(-height // ts)
+    T = gx * gy
+    tile_ids = np.arange(T, dtype=np.int32)
+    return T, np.stack([(tile_ids % gx) * ts, (tile_ids // gx) * ts],
+                       -1).reshape(-1).astype(np.int32)
+
+
+def _forward_impl(xy, conic, opacity, depth, colors, radius, visible,
+                  width, height, cfg, interpret):
+    ts = cfg.tile_size
+    P = ts * ts
+    C = colors.shape[-1]
+    rows = _rows_for(C)
+    T, origins = _origins(width, height, ts)
+
+    pr = pairs_mod.build_pairs(xy, radius, visible, width, height, cfg)
+    gpair = _pack_sorted(xy, conic, jnp.where(visible, opacity, 0.0), depth,
+                         colors, pr["pair_tile"], pr["pair_idx"])
+
+    kernel = functools.partial(_fwd_kernel, ts=ts, n_channels=C, rows=rows,
+                               alpha_max=cfg.alpha_max,
+                               alpha_min=cfg.alpha_min,
+                               t_eps=cfg.transmittance_eps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, P, C + 3), lambda t, *_: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, P, C + 3), jnp.float32),
+        interpret=interpret,
+    )(pr["starts"], pr["counts"], jnp.asarray(origins), gpair)
+    return out, pr, gpair
+
+
+def _backward_impl(pr, gpair, fwd_out, cot, width, height, cfg, n, C,
+                   interpret):
+    ts = cfg.tile_size
+    P = ts * ts
+    rows = _rows_for(C)
+    T, origins = _origins(width, height, ts)
+    PC = gpair.shape[1]
+
+    kernel = functools.partial(_bwd_kernel, ts=ts, n_channels=C, rows=rows,
+                               alpha_max=cfg.alpha_max,
+                               alpha_min=cfg.alpha_min,
+                               t_eps=cfg.transmittance_eps)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),              # gpair
+            pl.BlockSpec((1, P, C + 3), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),             # fwd out
+            pl.BlockSpec((1, P, C + 2), lambda t, *_: (t, 0, 0),
+                         memory_space=pltpu.VMEM),             # cotangent
+            pl.BlockSpec(memory_space=pltpu.HBM),              # zeros (alias)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
+            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    gzero = jnp.zeros((rows, PC), jnp.float32)
+    grad_pairs = pl.pallas_call(
+        kernel, grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, PC), jnp.float32),
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(pr["starts"], pr["counts"], jnp.asarray(origins), gpair, fwd_out, cot,
+      gzero)
+
+    # reduce per-pair grads -> per-(sorted)gaussian grads
+    seg = jax.ops.segment_sum(grad_pairs.T, pr["pair_idx"],
+                              num_segments=n + 1)             # [n+1, rows]
+    seg = seg[:n]
+    dxy = seg[:, [R_X, R_Y]]
+    dconic = seg[:, [R_CA, R_CB, R_CC]]
+    dop = seg[:, R_OP]
+    ddepth = seg[:, R_DEPTH]
+    dcolors = seg[:, N_FIXED:N_FIXED + C]
+    return dxy, dconic, dop, ddepth, dcolors
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+def blend_pairs(xy, conic, opacity, depth, colors, radius, visible_f,
+                width: int, height: int, cfg: RasterConfig,
+                interpret: bool = False):
+    """Differentiable pair blend over depth-sorted per-Gaussian screen
+    quantities. radius/visible_f (float 0/1 mask) direct the binning and get
+    zero cotangents.
+
+    Returns raw accumulators [T, P, C+3]: C channels, expected depth,
+    alpha (= sum of blend weights), n_contrib (backward bookkeeping)."""
+    out, _, _ = _forward_impl(xy, conic, opacity, depth, colors, radius,
+                              visible_f > 0.5, width, height, cfg, interpret)
+    return out
+
+
+def _blend_fwd_rule(xy, conic, opacity, depth, colors, radius, visible_f,
+                    width, height, cfg, interpret):
+    out, pr, gpair = _forward_impl(xy, conic, opacity, depth, colors, radius,
+                                   visible_f > 0.5, width, height, cfg,
+                                   interpret)
+    return out, (pr, gpair, out, xy.shape[0], colors.shape[-1], radius,
+                 visible_f)
+
+
+def _blend_bwd_rule(width, height, cfg, interpret, res, cot):
+    pr, gpair, fwd_out, n, C, radius, visible_f = res
+    cot_main = cot[..., :C + 2]                  # ignore n_contrib cotangent
+    dxy, dconic, dop, ddepth, dcolors = _backward_impl(
+        pr, gpair, fwd_out, cot_main, width, height, cfg, n, C, interpret)
+    return (dxy, dconic, dop, ddepth, dcolors,
+            jnp.zeros_like(radius), jnp.zeros_like(visible_f))
+
+
+blend_pairs.defvjp(_blend_fwd_rule, _blend_bwd_rule)
+
+
+def assemble_image(acc, width, height, cfg, bg):
+    """[T, P, C+3] raw accumulators -> (image [H,W,C], depth, alpha)."""
+    ts = cfg.tile_size
+    gx = -(-width // ts)
+    gy = -(-height // ts)
+    C = acc.shape[-1] - 3
+    img = acc[:, :, :C] + (1.0 - acc[:, :, C + 1])[:, :, None] * bg[None, None, :]
+
+    def asm(x, ch):
+        x = x.reshape(gy, gx, ts, ts, ch)
+        x = x.transpose(0, 2, 1, 3, 4).reshape(gy * ts, gx * ts, ch)
+        return x[:height, :width]
+
+    image = asm(img, C)
+    depth = asm(acc[:, :, C:C + 1], 1)[..., 0]
+    alpha = asm(acc[:, :, C + 1:C + 2], 1)[..., 0]
+    return image, depth, alpha
