@@ -1,0 +1,186 @@
+"""Evaluation entry point (reference test.py): --eval_pose, --eval_rendering,
+--eval_selection [--landmark_num N].
+
+Usage: python -m splatloc_tpu.cli.test --config <yaml> --eval_pose ...
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatloc_tpu.cli.config import load_config, save_dir_for
+from splatloc_tpu.core.camera import Camera
+from splatloc_tpu.eval import metrics, selection
+from splatloc_tpu.fields import FeatureFieldConfig
+from splatloc_tpu.match.localize import (Localizer, PrecomputedQueryFeatures,
+                                         REPLICA_EVAL_K, SCENES12_EVAL_K,
+                                         load_retrieval_table)
+from splatloc_tpu.raster import render
+from splatloc_tpu.raster.types import RasterConfig
+from splatloc_tpu.scene import ply
+from splatloc_tpu.train.decoder_train import load_params
+
+
+class EvalSession:
+    """Holds map + decoder + datasets (reference LocalizeQuery.pre_setting,
+    test.py:87-151)."""
+
+    def __init__(self, config: dict, save_dir: str,
+                 refine_with_render_loss: bool = False):
+        from splatloc_tpu.data import load_dataset
+        self.config = config
+        self.save_dir = save_dir
+        self.train_dataset = load_dataset(config, train=True)
+        self.test_dataset = load_dataset(config, train=False)
+
+        ply_path = os.path.join(save_dir, "point_cloud", "final",
+                                "point_cloud.ply")
+        sh_degree = 3 if config["Training"].get("spherical_harmonics") else 0
+        self.scene = ply.load_scene(ply_path, sh_degree=sh_degree)
+
+        self.field_cfg = FeatureFieldConfig.from_config(config)
+        ckpt = os.path.join(save_dir, "train_feat", "ckpt.npz")
+        self.decoder_params = load_params(ckpt) if os.path.exists(ckpt) else None
+
+        table_path = os.path.join(self.train_dataset.generated_folder,
+                                  "netvlad_retrieval.txt")
+        self.retrieval_table = (load_retrieval_table(table_path)
+                                if os.path.exists(table_path) else {})
+        qf_dir = os.path.join(self.train_dataset.generated_folder,
+                              "query_features")
+        self.query_features = PrecomputedQueryFeatures(qf_dir)
+        # The reference hardcodes per-dataset eval intrinsics
+        # (test.py:48-62); those values equal the dataset calibration, which
+        # we use directly so non-standard resolutions also work.
+        self.eval_K = self.train_dataset.K.astype(np.float64)
+        self.refine = refine_with_render_loss
+        # reference hardcodes ransac_thresh=12 px at fx~320-572 (test.py:64);
+        # configurable for other focal lengths
+        self.inlier_px = config.get("Eval", {}).get("pnp_inlier_px", 12.0)
+        self.raster_cfg = RasterConfig(
+            use_pallas=jax.default_backend() != "cpu")
+
+    def make_localizer(self, subset_xyz=None) -> Localizer:
+        return Localizer(self.scene, self.decoder_params, self.field_cfg,
+                         self.train_dataset, self.retrieval_table,
+                         self.query_features, self.eval_K,
+                         subset_xyz=subset_xyz,
+                         refine_with_render_loss=self.refine,
+                         inlier_px=self.inlier_px)
+
+    # -- eval_pose (test.py:463-517) -----------------------------------
+
+    def eval_pose(self, file_name: str = "eval_pose.txt",
+                  subset_xyz=None, max_queries: int | None = None):
+        loc = self.make_localizer(subset_xyz)
+        r_t, r_r, m_t, m_r = [], [], [], []
+        n = len(self.test_dataset)
+        if max_queries:
+            n = min(n, max_queries)
+        for i in range(n):
+            qf = self.test_dataset.get_frame(i)
+            if not qf["valid"]:
+                continue
+            name = self.test_dataset.index_to_name(i)
+            if name not in loc.retrieval_table:
+                continue
+            retrieval_ret, match_ret = loc.localize(qf, name)
+            if not match_ret["success"]:
+                continue
+            rr, rt = metrics.pose_errors(retrieval_ret["r"],
+                                         retrieval_ret["t"], qf["c2w"])
+            mr, mt = metrics.pose_errors(match_ret["r"], match_ret["t"],
+                                         qf["c2w"])
+            r_r.append(rr)
+            r_t.append(rt)
+            m_r.append(mr)
+            m_t.append(mt)
+        print(f"eval_pose over {len(m_t)} queries")
+        if m_t:
+            print(f"  Retrieval median: {np.median(r_t)*100:.2f} cm "
+                  f"{np.median(r_r):.3f} deg")
+            print(f"  Match     median: {np.median(m_t)*100:.2f} cm "
+                  f"{np.median(m_r):.3f} deg")
+            metrics.write_pose_report(os.path.join(self.save_dir, file_name),
+                                      r_t, r_r, m_t, m_r)
+        return m_t, m_r
+
+    # -- eval_rendering (test.py:519-551) ------------------------------
+
+    def eval_rendering(self, max_frames: int | None = None):
+        from splatloc_tpu.train.losses import ssim
+        ds = self.test_dataset
+        cam0 = Camera.create(np.eye(4, dtype=np.float32), ds.fx, ds.fy,
+                             ds.cx, ds.cy, ds.width, ds.height)
+        lp = metrics.lpips_fn(metrics.load_lpips_params(
+            os.path.join(os.path.dirname(__file__), "..", "..", "weights",
+                         "lpips_alex.npz")))
+        psnrs, ssims, lpipss = [], [], []
+        n = len(ds) if max_frames is None else min(len(ds), max_frames)
+        for i in range(n):
+            f = ds.get_frame(i)
+            if not f["valid"]:
+                continue
+            cam = cam0.replace_pose(jnp.asarray(f["w2c"]))
+            out = render(self.scene, cam, self.raster_cfg)
+            img = jnp.clip(out["render"], 0.0, 1.0)
+            gt = jnp.asarray(f["rgb"], jnp.float32)
+            psnrs.append(float(metrics.psnr_masked(img, gt)))
+            ssims.append(float(ssim(img, gt)))
+            lpipss.append(float(lp(img, gt)))
+        out = {"mean_psnr": float(np.mean(psnrs)),
+               "mean_ssim": float(np.mean(ssims)),
+               "mean_lpips": float(np.mean(lpipss))}
+        metrics.write_rendering_report(
+            os.path.join(self.save_dir, "eval_rendering.txt"), **{
+                "mean_psnr": out["mean_psnr"], "mean_ssim": out["mean_ssim"],
+                "mean_lpips": out["mean_lpips"]})
+        print(out)
+        return out
+
+    # -- eval_selection (test.py:553-566) ------------------------------
+
+    def eval_selection(self, landmark_num: int = 5000,
+                       max_queries: int | None = None):
+        marker = np.asarray(self.scene.marker)[:, 0]
+        alive = np.asarray(self.scene.alive)
+        key_pts = np.asarray(self.scene.xyz)[alive & (marker > 0.005)]
+        poses, valid = self.train_dataset.load_all_poses()
+        w2cs = np.linalg.inv(poses[valid])
+        depths = self.train_dataset.load_all_depth()
+        subset = selection.select_landmarks(
+            key_pts, w2cs, self.train_dataset.K, depths, landmark_num)
+        return self.eval_pose(
+            file_name=f"eval_selection_{landmark_num}.txt",
+            subset_xyz=subset.astype(np.float32), max_queries=max_queries)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--eval_pose", action="store_true")
+    parser.add_argument("--eval_rendering", action="store_true")
+    parser.add_argument("--eval_selection", action="store_true")
+    parser.add_argument("--landmark_num", type=int, default=5000)
+    parser.add_argument("--refine_pose", action="store_true",
+                        help="render-loss 6-DoF refinement after PnP")
+    args = parser.parse_args(argv)
+
+    config = load_config(args.config)
+    save_dir = save_dir_for(config)
+    session = EvalSession(config, save_dir,
+                          refine_with_render_loss=args.refine_pose)
+    if args.eval_pose:
+        session.eval_pose()
+    if args.eval_rendering:
+        session.eval_rendering()
+    if args.eval_selection:
+        session.eval_selection(args.landmark_num)
+
+
+if __name__ == "__main__":
+    main()

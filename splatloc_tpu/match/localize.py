@@ -1,0 +1,171 @@
+"""Visual localization service — the reference LocalizeQuery (test.py:86-566)
+rebuilt on TPU-native components.
+
+Pipeline per query: NetVLAD retrieval (precomputed table or live) ->
+SuperPoint query features (precomputed or JAX extractor) -> frustum gather of
+key Gaussians in the retrieved db view + KD-snap to db keypoints -> descriptor
+field decode -> Hungarian matching -> PnP+RANSAC -> optional render-loss
+6-DoF pose refinement (new capability, uses the rasterizer's pose
+gradients).
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from splatloc_tpu.core import transforms
+from splatloc_tpu.core.camera import Camera
+from splatloc_tpu.fields import FeatureFieldConfig, decode
+from splatloc_tpu.match import frustum, hungarian, pnp
+
+REPLICA_EVAL_K = np.array([
+    [640.0 / 2.0 / 0.9999999999999999, 0.0, (640 - 1.0) / 2.0],
+    [0.0, 640.0 / 2.0 / 0.9999999999999999, (480 - 1.0) / 2.0],
+    [0.0, 0.0, 1.0]])
+SCENES12_EVAL_K = np.array([[572.0, 0, 320.0], [0, 572.0, 240.0], [0, 0, 1]])
+
+
+def load_retrieval_table(path: str) -> dict:
+    """netvlad_retrieval.txt: one line per query, 'query db1 db2 ...'
+    (reference test.py:167-177)."""
+    table = {}
+    with open(path) as f:
+        for line in f:
+            tok = line.strip().split()
+            if not tok:
+                continue
+            q = os.path.basename(tok[0]).split(".")[0]
+            table[q] = [os.path.basename(t).split(".")[0] for t in tok[1:]]
+    return table
+
+
+class PrecomputedQueryFeatures:
+    """Query SuperPoint features from files: {dir}/{name}.npz with
+    keypoints [N,2] (u,v) and descriptors [256,N]."""
+
+    def __init__(self, directory: str):
+        self.directory = directory
+
+    def __call__(self, name: str) -> dict:
+        z = np.load(os.path.join(self.directory, f"{name}.npz"))
+        return {"keypoints": z["keypoints"], "descriptors": z["descriptors"]}
+
+
+class Localizer:
+    def __init__(self, scene, decoder_params, field_cfg: FeatureFieldConfig,
+                 train_dataset, retrieval_table: dict,
+                 query_features, eval_K: np.ndarray,
+                 marker_thresh: float = 0.005, sim_thresh: float = 0.4,
+                 subset_xyz: np.ndarray | None = None,
+                 refine_with_render_loss: bool = False,
+                 inlier_px: float = 12.0):
+        self.scene = scene
+        self.decoder_params = decoder_params
+        self.field_cfg = field_cfg
+        self.train_dataset = train_dataset
+        self.retrieval_table = retrieval_table
+        self.query_features = query_features
+        self.eval_K = eval_K
+        self.marker_thresh = marker_thresh
+        self.sim_thresh = sim_thresh
+        self.subset_xyz = subset_xyz
+        self.refine_with_render_loss = refine_with_render_loss
+        self.inlier_px = inlier_px
+        # host copies of the map
+        alive = np.asarray(scene.alive)
+        self.xyz = np.asarray(scene.xyz)[alive]
+        self.marker = np.asarray(scene.marker)[alive, 0]
+
+    # -- db-side 3D keypoints + descriptors ----------------------------
+
+    def get_frustum_points(self, db_frame: dict):
+        """Reference get_frusm_pts (test.py:247-285)."""
+        ds = self.train_dataset
+        if self.subset_xyz is not None:
+            pts3d, pts2d = frustum.frustum_key_points(
+                self.subset_xyz, None, db_frame["w2c"], ds.K,
+                ds.width, ds.height, subset=True)
+        else:
+            pts3d, pts2d = frustum.frustum_key_points(
+                self.xyz, self.marker, db_frame["w2c"], ds.K,
+                ds.width, ds.height,
+                db_mask=np.asarray(db_frame["sp_kp_mask"]) == 1,
+                db_depth=np.asarray(db_frame["depth"]),
+                c2w=db_frame["c2w"], marker_thresh=self.marker_thresh)
+        if pts3d.shape[0] == 0:
+            return pts3d, np.zeros((0, 256), np.float32), pts2d
+        feats = np.asarray(decode(self.decoder_params,
+                                  jnp.asarray(pts3d, jnp.float32),
+                                  self.field_cfg))
+        return pts3d, feats, pts2d
+
+    # -- per-query ------------------------------------------------------
+
+    def localize(self, query_frame: dict, query_name: str):
+        """Returns (retrieval_result, match_result) dicts like the reference
+        localize_image/match_feature (test.py:304-419)."""
+        names = self.retrieval_table[query_name]
+        db_index = self.train_dataset.name_to_index(names[0])
+        db_frame = self.train_dataset.get_frame(db_index)
+
+        retrieval_ret = {"r": db_frame["c2w"][:3, :3],
+                         "t": db_frame["c2w"][:3, 3]}
+
+        db_kps_3d, db_feats_3d, db_kps_2d = self.get_frustum_points(db_frame)
+        if db_kps_3d.shape[0] < 5:
+            return retrieval_ret, {**retrieval_ret, "success": False}
+
+        qf = self.query_features(query_name)
+        matches, sims = hungarian.hungarian_solve(
+            qf["descriptors"], db_feats_3d.T, sim_thresh=self.sim_thresh)
+        q2d = qf["keypoints"][matches[0]]
+        p3d = db_kps_3d[matches[1]]
+
+        ret = pnp.solve_pnp_ransac(q2d.astype(np.float32),
+                                   p3d.astype(np.float32), self.eval_K,
+                                   inlier_px=self.inlier_px)
+        if not ret["success"]:
+            return retrieval_ret, {**retrieval_ret, "success": False}
+        match_ret = {"r": ret["r"], "t": ret["t"], "success": True,
+                     "num_inliers": ret["num_inliers"]}
+
+        if self.refine_with_render_loss and "rgb" in query_frame:
+            match_ret = self.render_refine(match_ret, query_frame)
+        return retrieval_ret, match_ret
+
+    # -- render-loss 6-DoF refinement (north-star capability) -----------
+
+    def render_refine(self, match_ret: dict, query_frame: dict,
+                      iters: int = 40, lr: float = 1e-3):
+        """Polish the PnP pose by gradient descent of photometric render
+        loss through the rasterizer's pose gradients."""
+        from splatloc_tpu.raster import render
+        from splatloc_tpu.raster.types import RasterConfig
+        ds = self.train_dataset
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = match_ret["r"]
+        c2w[:3, 3] = match_ret["t"]
+        w2c0 = jnp.asarray(np.linalg.inv(c2w))
+        cam0 = Camera.create(np.eye(4, dtype=np.float32), ds.fx, ds.fy,
+                             ds.cx, ds.cy, ds.width, ds.height)
+        gt = jnp.asarray(query_frame["rgb"], jnp.float32)
+        cfg = RasterConfig(use_pallas=jax.default_backend() != "cpu")
+        scene = self.scene
+
+        @jax.jit
+        def loss_fn(xi):
+            w2c = transforms.se3_exp(xi) @ w2c0
+            out = render(scene, cam0.replace_pose(w2c), cfg)
+            return jnp.mean(jnp.abs(out["render"] - gt))
+
+        grad_fn = jax.jit(jax.grad(loss_fn))
+        xi = jnp.zeros(6)
+        for _ in range(iters):
+            xi = xi - lr * grad_fn(xi)
+        w2c = np.asarray(transforms.se3_exp(xi) @ w2c0)
+        c2w = np.linalg.inv(w2c)
+        return {**match_ret, "r": c2w[:3, :3], "t": c2w[:3, 3],
+                "refined": True}

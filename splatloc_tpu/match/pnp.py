@@ -103,21 +103,22 @@ def _solve_core(pts2d_n, pts3d, valid, key, inlier_thresh_n,
         pri = jax.random.uniform(k, (M,)) + jnp.where(valid, 0.0, -10.0)
         _, idx = jax.lax.top_k(pri, sample_size)
         R, t, ok = _dlt_pose(pts2d_n[idx], pts3d[idx])
+        # near-minimal DLT amplifies pixel noise badly, so refine EVERY
+        # hypothesis on its loose-inlier support (all hypotheses refine in
+        # parallel under vmap — RANSAC+LO as one batched program), then
+        # score the refined pose at the true threshold.
         err = _reproj_errors(R, t, pts2d_n, pts3d)
-        # score with a loose threshold: near-minimal DLT amplifies pixel
-        # noise, so a good-support hypothesis may sit a few thresholds off
-        inl = (err < 3.0 * inlier_thresh_n) & valid
-        score = jnp.where(ok, jnp.sum(inl), -1)
+        w = ((err < 3.0 * inlier_thresh_n) & valid).astype(jnp.float32)
+        R, t = _gauss_newton_refine(R, t, pts2d_n, pts3d, w, 5)
+        err = _reproj_errors(R, t, pts2d_n, pts3d)
+        inl = (err < inlier_thresh_n) & valid
+        score = jnp.where(ok & jnp.isfinite(t).all(), jnp.sum(inl), -1)
         return score, R, t
 
     scores, Rs, ts = jax.vmap(one_hyp)(keys)
     best = jnp.argmax(scores)
     R, t = Rs[best], ts[best]
-    # LO-RANSAC: refine on loose inliers, re-collect at the real threshold,
-    # refine again.
-    err = _reproj_errors(R, t, pts2d_n, pts3d)
-    w = ((err < 3.0 * inlier_thresh_n) & valid).astype(jnp.float32)
-    R, t = _gauss_newton_refine(R, t, pts2d_n, pts3d, w, refine_iters)
+    # final local optimization on the winner's strict inliers
     err = _reproj_errors(R, t, pts2d_n, pts3d)
     w = ((err < inlier_thresh_n) & valid).astype(jnp.float32)
     R, t = _gauss_newton_refine(R, t, pts2d_n, pts3d, w, refine_iters)
@@ -128,7 +129,7 @@ def _solve_core(pts2d_n, pts3d, valid, key, inlier_thresh_n,
 
 def solve_pnp_ransac(pts2d: np.ndarray, pts3d: np.ndarray, K: np.ndarray,
                      inlier_px: float = 12.0, n_hypotheses: int = 1024,
-                     sample_size: int = 10, refine_iters: int = 10,
+                     sample_size: int = 6, refine_iters: int = 10,
                      min_inliers: int = 5, seed: int = 0):
     """pts2d [M,2] pixel coords (x=u, y=v), pts3d [M,3] world.
 

@@ -68,6 +68,8 @@ def frame_to_gaussians(
 ):
     """Returns (values dict for GaussianScene.insert, valid [B])."""
     H, W = depth.shape
+    kp_budget = min(kp_budget, H * W)
+    nonkp_budget = min(nonkp_budget, H * W)
     image_ab = jnp.clip(jnp.exp(exposure_a) * rgb + exposure_b, 0.0, 1.0)
 
     kp_mask = (depth > 0.0) & (score > score_thresh)

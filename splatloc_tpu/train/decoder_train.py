@@ -70,6 +70,7 @@ def train_decoder(cfg: FeatureFieldConfig, xyz: np.ndarray, feats: np.ndarray,
     epoch_fn = make_train_epoch(cfg, optimizer)
 
     n = xyz.shape[0]
+    batch = min(batch, n)
     n_batches = max(n // batch, 1)
     xyz_d = jnp.asarray(xyz, jnp.float32)
     feats_d = jnp.asarray(feats, jnp.float32)
