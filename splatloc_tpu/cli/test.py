@@ -52,7 +52,15 @@ class EvalSession:
                                 if os.path.exists(table_path) else {})
         qf_dir = os.path.join(self.train_dataset.generated_folder,
                               "query_features")
-        self.query_features = PrecomputedQueryFeatures(qf_dir)
+        sp_weights = config.get("Eval", {}).get("superpoint_weights")
+        if os.path.isdir(qf_dir):
+            self.query_features = PrecomputedQueryFeatures(qf_dir)
+        elif sp_weights and os.path.exists(sp_weights):
+            from splatloc_tpu.match.localize import LiveQueryFeatures
+            self.query_features = LiveQueryFeatures(sp_weights,
+                                                    self.test_dataset)
+        else:
+            self.query_features = PrecomputedQueryFeatures(qf_dir)
         # The reference hardcodes per-dataset eval intrinsics
         # (test.py:48-62); those values equal the dataset calibration, which
         # we use directly so non-standard resolutions also work.

@@ -121,7 +121,9 @@ def extract_surface_points(vol: TSDFVolume, max_points: int = 500_000,
         sl1[axis] = slice(1, None)
         t0, t1 = a[tuple(sl0)], a[tuple(sl1)]
         w0, w1 = weight[tuple(sl0)], weight[tuple(sl1)]
-        cross = (t0 * t1 < 0) & (w0 >= min_weight) & (w1 >= min_weight)
+        # sign change including exact zeros (counted once)
+        change = ((t0 > 0) & (t1 <= 0)) | ((t0 <= 0) & (t1 > 0))
+        cross = change & (w0 >= min_weight) & (w1 >= min_weight)
         idx = np.argwhere(cross)
         if idx.size == 0:
             continue

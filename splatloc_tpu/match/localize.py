@@ -54,6 +54,30 @@ class PrecomputedQueryFeatures:
         return {"keypoints": z["keypoints"], "descriptors": z["descriptors"]}
 
 
+class LiveQueryFeatures:
+    """Query SuperPoint features extracted on the fly with the JAX
+    extractor (reference extracts live via hloc, test.py:208-227)."""
+
+    def __init__(self, sp_weights_path: str, dataset,
+                 max_keypoints: int = 4096):
+        from splatloc_tpu.match import superpoint
+        self.params = superpoint.load_params(sp_weights_path)
+        self.dataset = dataset
+        self.max_keypoints = max_keypoints
+
+    def __call__(self, name: str) -> dict:
+        from splatloc_tpu.match import superpoint
+        idx = self.dataset.name_to_index(name)
+        rgb = self.dataset.load_image(idx)
+        gray = jnp.asarray(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1]
+                           + 0.114 * rgb[..., 2], jnp.float32)
+        out = superpoint.extract(self.params, gray,
+                                 max_keypoints=self.max_keypoints)
+        valid = np.asarray(out["valid"])
+        return {"keypoints": np.asarray(out["keypoints"])[valid],
+                "descriptors": np.asarray(out["descriptors"])[:, valid]}
+
+
 class Localizer:
     def __init__(self, scene, decoder_params, field_cfg: FeatureFieldConfig,
                  train_dataset, retrieval_table: dict,

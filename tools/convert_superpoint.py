@@ -1,0 +1,36 @@
+"""Convert the public SuperPoint checkpoint (superpoint_v1.pth, MagicLeap
+naming) to the splatloc_tpu npz layout.
+
+Run wherever the checkpoint is available:
+    python tools/convert_superpoint.py superpoint_v1.pth weights/superpoint.npz
+
+Torch conv weights [out,in,kh,kw] -> HWIO.
+"""
+import sys
+
+import numpy as np
+import torch
+
+_MAP = {  # torch module name -> our name
+    "conv1a": "conv1a", "conv1b": "conv1b", "conv2a": "conv2a",
+    "conv2b": "conv2b", "conv3a": "conv3a", "conv3b": "conv3b",
+    "conv4a": "conv4a", "conv4b": "conv4b",
+    "convPa": "convPa", "convPb": "convPb",
+    "convDa": "convDa", "convDb": "convDb",
+}
+
+
+def main(src, dst):
+    sd = torch.load(src, map_location="cpu")
+    out = {}
+    for tname, oname in _MAP.items():
+        w = sd[f"{tname}.weight"].numpy()
+        b = sd[f"{tname}.bias"].numpy()
+        out[f"{oname}_w"] = np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+        out[f"{oname}_b"] = b
+    np.savez(dst, **out)
+    print(f"wrote {dst}: {len(out)} arrays")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
