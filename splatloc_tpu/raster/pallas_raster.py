@@ -93,7 +93,8 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
                 gpair_hbm,                                   # [rows, PC] HBM
                 out_ref,                                     # [1, P, OUT]
                 gbuf, gsem,                                  # scratch
-                *, ts, n_channels, rows, alpha_max, alpha_min, t_eps):
+                *, ts, n_channels, rows, alpha_max, alpha_min, t_eps,
+                grid_x):
     t = pl.program_id(0)
     P = ts * ts
     start = starts_ref[t]
@@ -120,7 +121,9 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         get_dma(0, 0).start()
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    tile_f = t
+    # global tile id from the pixel origin (program_id is shard-local
+    # under shard_map)
+    tile_f = (oy // ts) * grid_x + (ox // ts)
 
     def body(state):
         j, t_carry, acc, ncontrib = state
@@ -206,7 +209,8 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
                 gpair_hbm, fwd_ref, cot_ref, gzero_hbm,      # inputs
                 gout_hbm,                                    # [rows, PC] HBM
                 gbuf, wbuf, gsem, wsem,                      # scratch
-                *, ts, n_channels, rows, alpha_max, alpha_min, t_eps):
+                *, ts, n_channels, rows, alpha_max, alpha_min, t_eps,
+                grid_x):
     del gzero_hbm  # aliased to gout_hbm; only here to init it with zeros
     t = pl.program_id(0)
     P = ts * ts
@@ -256,7 +260,7 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         read_grad(0, j_hi).start()
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    tile_f = t
+    tile_f = (oy // ts) * grid_x + (ox // ts)
 
     def body(state):
         j, t_end, s_end = state
@@ -403,22 +407,13 @@ def _origins(width, height, ts):
                        -1).reshape(-1).astype(np.int32)
 
 
-def _forward_impl(xy, conic, opacity, depth, colors, radius, visible,
-                  width, height, cfg, interpret):
-    ts = cfg.tile_size
-    P = ts * ts
-    C = colors.shape[-1]
-    rows = _rows_for(C)
-    T, origins = _origins(width, height, ts)
-
-    pr = pairs_mod.build_pairs(xy, radius, visible, width, height, cfg)
-    gpair = _pack_sorted(xy, conic, jnp.where(visible, opacity, 0.0), depth,
-                         colors, pr["pair_tile"], pr["pair_idx"])
-
-    kernel = functools.partial(_fwd_kernel, ts=ts, n_channels=C, rows=rows,
-                               alpha_max=cfg.alpha_max,
+def _run_fwd_kernel(starts, counts, origins, gpair, T, P, C, rows, cfg,
+                    interpret, grid_x):
+    """Invoke the forward kernel over T tiles (local shard under shard_map)."""
+    kernel = functools.partial(_fwd_kernel, ts=cfg.tile_size, n_channels=C,
+                               rows=rows, alpha_max=cfg.alpha_max,
                                alpha_min=cfg.alpha_min,
-                               t_eps=cfg.transmittance_eps)
+                               t_eps=cfg.transmittance_eps, grid_x=grid_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -430,26 +425,64 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible,
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, P, C + 3), jnp.float32),
         interpret=interpret,
-    )(pr["starts"], pr["counts"], jnp.asarray(origins), gpair)
+    )(starts, counts, origins, gpair)
+
+
+def _forward_impl(xy, conic, opacity, depth, colors, radius, visible,
+                  width, height, cfg, interpret, mesh=None, axis="tile"):
+    ts = cfg.tile_size
+    P = ts * ts
+    C = colors.shape[-1]
+    rows = _rows_for(C)
+    T, origins = _origins(width, height, ts)
+
+    pr = pairs_mod.build_pairs(xy, radius, visible, width, height, cfg)
+    gpair = _pack_sorted(xy, conic, jnp.where(visible, opacity, 0.0), depth,
+                         colors, pr["pair_tile"], pr["pair_idx"])
+
+    grid_x = -(-width // ts)
+    if mesh is None:
+        out = _run_fwd_kernel(pr["starts"], pr["counts"],
+                              jnp.asarray(origins), gpair, T, P, C, rows,
+                              cfg, interpret, grid_x)
+    else:
+        from jax.sharding import PartitionSpec as Pspec
+        from jax.experimental.shard_map import shard_map
+        D = mesh.shape[axis]
+        Tp = T + ((-T) % D)
+        Tl = Tp // D
+        starts = jnp.concatenate([pr["starts"],
+                                  jnp.zeros(((-T) % D,), jnp.int32)])
+        counts = jnp.concatenate([pr["counts"],
+                                  jnp.zeros(((-T) % D,), jnp.int32)])
+        orig = np.concatenate([origins.reshape(T, 2),
+                               np.zeros(((-T) % D, 2), np.int32)])
+
+        def per_dev(s, c, o, g):
+            return _run_fwd_kernel(s, c, o.reshape(-1), g, Tl, P, C, rows,
+                                   cfg, interpret, grid_x)
+
+        out = shard_map(
+            per_dev, mesh=mesh,
+            in_specs=(Pspec(axis), Pspec(axis), Pspec(axis), Pspec()),
+            out_specs=Pspec(axis), check_rep=False,
+        )(starts, counts, jnp.asarray(orig), gpair)[:T]
     return out, pr, gpair
 
 
-def _backward_impl(pr, gpair, fwd_out, cot, width, height, cfg, n, C,
-                   interpret):
-    ts = cfg.tile_size
-    P = ts * ts
-    rows = _rows_for(C)
-    T, origins = _origins(width, height, ts)
+def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
+                    rows, cfg, interpret, grid_x):
+    """Invoke the backward kernel over T tiles -> grad_pairs [rows, PC]."""
     PC = gpair.shape[1]
-
-    kernel = functools.partial(_bwd_kernel, ts=ts, n_channels=C, rows=rows,
+    kernel = functools.partial(_bwd_kernel, ts=cfg.tile_size, n_channels=C,
+                               rows=rows,
                                alpha_max=cfg.alpha_max,
                                alpha_min=cfg.alpha_min,
-                               t_eps=cfg.transmittance_eps)
+                               t_eps=cfg.transmittance_eps, grid_x=grid_x)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -470,14 +503,55 @@ def _backward_impl(pr, gpair, fwd_out, cot, width, height, cfg, n, C,
         ],
     )
     gzero = jnp.zeros((rows, PC), jnp.float32)
-    grad_pairs = pl.pallas_call(
+    return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows, PC), jnp.float32),
         input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(pr["starts"], pr["counts"], jnp.asarray(origins), gpair, fwd_out, cot,
-      gzero)
+    )(starts, counts, origins, gpair, fwd_out, cot, gzero)
+
+
+def _backward_impl(pr, gpair, fwd_out, cot, width, height, cfg, n, C,
+                   interpret, mesh=None, axis="tile"):
+    ts = cfg.tile_size
+    P = ts * ts
+    rows = _rows_for(C)
+    T, origins = _origins(width, height, ts)
+
+    grid_x = -(-width // ts)
+    if mesh is None:
+        grad_pairs = _run_bwd_kernel(pr["starts"], pr["counts"],
+                                     jnp.asarray(origins), gpair, fwd_out,
+                                     cot, T, P, C, rows, cfg, interpret,
+                                     grid_x)
+    else:
+        from jax.sharding import PartitionSpec as Pspec
+        from jax.experimental.shard_map import shard_map
+        D = mesh.shape[axis]
+        pad = (-T) % D
+        Tl = (T + pad) // D
+        starts = jnp.concatenate([pr["starts"], jnp.zeros((pad,), jnp.int32)])
+        counts = jnp.concatenate([pr["counts"], jnp.zeros((pad,), jnp.int32)])
+        orig = np.concatenate([origins.reshape(T, 2),
+                               np.zeros((pad, 2), np.int32)])
+        fwd_p = jnp.concatenate(
+            [fwd_out, jnp.zeros((pad,) + fwd_out.shape[1:], fwd_out.dtype)])
+        cot_p = jnp.concatenate(
+            [cot, jnp.zeros((pad,) + cot.shape[1:], cot.dtype)])
+
+        def per_dev(s, c, o, g, f, ct):
+            gp = _run_bwd_kernel(s, c, o.reshape(-1), g, f, ct, Tl, P, C,
+                                 rows, cfg, interpret, grid_x)
+            # tiles are disjoint across devices; sum the pair-grad shards
+            return jax.lax.psum(gp, axis)
+
+        grad_pairs = shard_map(
+            per_dev, mesh=mesh,
+            in_specs=(Pspec(axis), Pspec(axis), Pspec(axis), Pspec(),
+                      Pspec(axis), Pspec(axis)),
+            out_specs=Pspec(), check_rep=False,
+        )(starts, counts, jnp.asarray(orig), gpair, fwd_p, cot_p)
 
     # reduce per-pair grads -> per-(sorted)gaussian grads
     seg = jax.ops.segment_sum(grad_pairs.T, pr["pair_idx"],
@@ -491,35 +565,38 @@ def _backward_impl(pr, gpair, fwd_out, cot, width, height, cfg, n, C,
     return dxy, dconic, dop, ddepth, dcolors
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def blend_pairs(xy, conic, opacity, depth, colors, radius, visible_f,
                 width: int, height: int, cfg: RasterConfig,
-                interpret: bool = False):
+                interpret: bool = False, mesh=None, axis: str = "tile"):
     """Differentiable pair blend over depth-sorted per-Gaussian screen
     quantities. radius/visible_f (float 0/1 mask) direct the binning and get
-    zero cotangents.
+    zero cotangents. With ``mesh``, the tile axis shards across the named
+    mesh axis (forward tiles sharded; backward pair-grad shards psummed).
 
     Returns raw accumulators [T, P, C+3]: C channels, expected depth,
     alpha (= sum of blend weights), n_contrib (backward bookkeeping)."""
     out, _, _ = _forward_impl(xy, conic, opacity, depth, colors, radius,
-                              visible_f > 0.5, width, height, cfg, interpret)
+                              visible_f > 0.5, width, height, cfg, interpret,
+                              mesh, axis)
     return out
 
 
 def _blend_fwd_rule(xy, conic, opacity, depth, colors, radius, visible_f,
-                    width, height, cfg, interpret):
+                    width, height, cfg, interpret, mesh=None, axis="tile"):
     out, pr, gpair = _forward_impl(xy, conic, opacity, depth, colors, radius,
                                    visible_f > 0.5, width, height, cfg,
-                                   interpret)
+                                   interpret, mesh, axis)
     return out, (pr, gpair, out, xy.shape[0], colors.shape[-1], radius,
                  visible_f)
 
 
-def _blend_bwd_rule(width, height, cfg, interpret, res, cot):
+def _blend_bwd_rule(width, height, cfg, interpret, mesh, axis, res, cot):
     pr, gpair, fwd_out, n, C, radius, visible_f = res
     cot_main = cot[..., :C + 2]                  # ignore n_contrib cotangent
     dxy, dconic, dop, ddepth, dcolors = _backward_impl(
-        pr, gpair, fwd_out, cot_main, width, height, cfg, n, C, interpret)
+        pr, gpair, fwd_out, cot_main, width, height, cfg, n, C, interpret,
+        mesh, axis)
     return (dxy, dconic, dop, ddepth, dcolors,
             jnp.zeros_like(radius), jnp.zeros_like(visible_f))
 
