@@ -38,10 +38,10 @@ def rasterize_sharded(means3d, scales, quats, opacities, colors,
                                      alive=alive)
     order = binning.depth_sort(proj)
     acc = pallas_raster.blend_pairs(
-        proj.xy[order], proj.conic[order], opacities[order],
-        proj.depth[order], colors[order],
-        jax.lax.stop_gradient(proj.radius[order]),
-        jax.lax.stop_gradient(proj.visible[order].astype(jnp.float32)),
+        proj.xy, proj.conic, opacities, proj.depth, colors,
+        jax.lax.stop_gradient(proj.radius),
+        jax.lax.stop_gradient(proj.visible.astype(jnp.float32)),
+        order.astype(jnp.float32),
         camera.width, camera.height, cfg, interpret, mesh, axis)
     image, depth, alpha = pallas_raster.assemble_image(
         acc, camera.width, camera.height, cfg, bg)

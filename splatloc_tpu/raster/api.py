@@ -52,10 +52,10 @@ def rasterize(
         from splatloc_tpu.raster import pallas_raster
         interpret = jax.default_backend() == "cpu"
         acc = pallas_raster.blend_pairs(
-            proj.xy[order], proj.conic[order], opacities[order],
-            proj.depth[order], colors[order],
-            jax.lax.stop_gradient(proj.radius[order]),
-            jax.lax.stop_gradient(proj.visible[order].astype(jnp.float32)),
+            proj.xy, proj.conic, opacities, proj.depth, colors,
+            jax.lax.stop_gradient(proj.radius),
+            jax.lax.stop_gradient(proj.visible.astype(jnp.float32)),
+            order.astype(jnp.float32),
             camera.width, camera.height, cfg, interpret)
         image, depth, alpha = pallas_raster.assemble_image(
             acc, camera.width, camera.height, cfg, bg)

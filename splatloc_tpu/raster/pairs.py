@@ -32,7 +32,7 @@ ALIGN = 128
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
                                              "max_tiles", "pair_cap"))
 def build_pairs(xy, radius, visible, width: int, height: int,
-                cfg: RasterConfig, max_tiles: int = 36,
+                cfg: RasterConfig, max_tiles: int = 20,
                 pair_cap: int | None = None):
     """Inputs are depth-sorted per-Gaussian screen quantities.
 
@@ -51,7 +51,7 @@ def build_pairs(xy, radius, visible, width: int, height: int,
     assert N < (1 << IDX_BITS), N
     assert T < (1 << (31 - IDX_BITS)), T
     if pair_cap is None:
-        pair_cap = 6 * N
+        pair_cap = 4 * N
     pair_cap = int(np.ceil(pair_cap / ALIGN)) * ALIGN
 
     u, v = xy[:, 0], xy[:, 1]

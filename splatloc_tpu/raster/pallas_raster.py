@@ -35,7 +35,7 @@ from splatloc_tpu.raster.types import RasterConfig
 # attribute-major row layout of per-pair data
 R_X, R_Y, R_CA, R_CB, R_CC, R_OP, R_DEPTH, R_TILE = 0, 1, 2, 3, 4, 5, 6, 7
 N_FIXED = 8
-CHUNK = 512
+CHUNK = 256
 
 
 def _rows_for(c: int) -> int:
@@ -379,8 +379,10 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 # host-side wrappers + custom VJP
 # --------------------------------------------------------------------------
 
-def _pack_sorted(xy, conic, opacity, depth, colors, tile_of_pair, pair_idx):
-    """Gather per-pair attribute-major data [rows, PC]; index N -> zeros."""
+def _pack_pairs(xy, conic, opacity, depth, colors, tile_of_pair, gauss_idx):
+    """Gather per-pair attribute-major data [rows, PC] from UNSORTED
+    per-Gaussian arrays via the composed per-pair gaussian index
+    (gauss_idx = order[pair_idx]; index N -> zeros)."""
     n = xy.shape[0]
     c = colors.shape[-1]
     rows = _rows_for(c)
@@ -393,7 +395,7 @@ def _pack_sorted(xy, conic, opacity, depth, colors, tile_of_pair, pair_idx):
     per_g = per_g.at[R_OP, :n].set(opacity)
     per_g = per_g.at[R_DEPTH, :n].set(depth)
     per_g = per_g.at[N_FIXED:N_FIXED + c, :n].set(colors.T)
-    gp = jnp.take(per_g, pair_idx, axis=1)                   # [rows, PC]
+    gp = jnp.take(per_g, gauss_idx, axis=1)                  # [rows, PC]
     gp = gp.at[R_TILE, :].set(tile_of_pair.astype(jnp.float32))
     return gp
 
@@ -432,17 +434,26 @@ def _run_fwd_kernel(starts, counts, origins, gpair, T, P, C, rows, cfg,
     )(starts, counts, origins, gpair)
 
 
-def _forward_impl(xy, conic, opacity, depth, colors, radius, visible,
+def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
                   width, height, cfg, interpret, mesh=None, axis="tile"):
+    """All per-Gaussian inputs UNSORTED; ``order`` is the depth permutation.
+    Only the small rect quantities are gathered into sorted order for pair
+    building; the heavy per-pair attribute gather composes order[pair_idx]
+    directly."""
     ts = cfg.tile_size
     P = ts * ts
     C = colors.shape[-1]
+    n = xy.shape[0]
     rows = _rows_for(C)
     T, origins = _origins(width, height, ts)
 
-    pr = pairs_mod.build_pairs(xy, radius, visible, width, height, cfg)
-    gpair = _pack_sorted(xy, conic, jnp.where(visible, opacity, 0.0), depth,
-                         colors, pr["pair_tile"], pr["pair_idx"])
+    pr = pairs_mod.build_pairs(xy[order], radius[order], visible[order],
+                               width, height, cfg)
+    order_p = jnp.concatenate([order.astype(jnp.int32),
+                               jnp.full((1,), n, jnp.int32)])
+    gauss_idx = order_p[jnp.minimum(pr["pair_idx"], n)]
+    gpair = _pack_pairs(xy, conic, jnp.where(visible, opacity, 0.0), depth,
+                        colors, pr["pair_tile"], gauss_idx)
 
     grid_x = -(-width // ts)
     if mesh is None:
@@ -512,7 +523,7 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
     )(starts, counts, origins, gpair, fwd_out, cot, gzero)
 
 
-def _backward_impl(pr, gpair, fwd_out, cot, width, height, cfg, n, C,
+def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
                    interpret, mesh=None, axis="tile"):
     ts = cfg.tile_size
     P = ts * ts
@@ -553,8 +564,11 @@ def _backward_impl(pr, gpair, fwd_out, cot, width, height, cfg, n, C,
             out_specs=Pspec(), check_rep=False,
         )(starts, counts, jnp.asarray(orig), gpair, fwd_p, cot_p)
 
-    # reduce per-pair grads -> per-(sorted)gaussian grads
-    seg = jax.ops.segment_sum(grad_pairs.T, pr["pair_idx"],
+    # reduce per-pair grads -> per-Gaussian grads (unsorted domain)
+    order_p = jnp.concatenate([order.astype(jnp.int32),
+                               jnp.full((1,), n, jnp.int32)])
+    gauss_idx = order_p[jnp.minimum(pr["pair_idx"], n)]
+    seg = jax.ops.segment_sum(grad_pairs.T, gauss_idx,
                               num_segments=n + 1)             # [n+1, rows]
     seg = seg[:n]
     dxy = seg[:, [R_X, R_Y]]
@@ -565,40 +579,44 @@ def _backward_impl(pr, gpair, fwd_out, cot, width, height, cfg, n, C,
     return dxy, dconic, dop, ddepth, dcolors
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
-def blend_pairs(xy, conic, opacity, depth, colors, radius, visible_f,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13))
+def blend_pairs(xy, conic, opacity, depth, colors, radius, visible_f, order_f,
                 width: int, height: int, cfg: RasterConfig,
                 interpret: bool = False, mesh=None, axis: str = "tile"):
-    """Differentiable pair blend over depth-sorted per-Gaussian screen
-    quantities. radius/visible_f (float 0/1 mask) direct the binning and get
-    zero cotangents. With ``mesh``, the tile axis shards across the named
-    mesh axis (forward tiles sharded; backward pair-grad shards psummed).
+    """Differentiable pair blend over UNSORTED per-Gaussian screen
+    quantities; ``order_f`` is the depth permutation (float-encoded, exact
+    for N < 2^24). radius/visible_f/order_f direct the binning and get zero
+    cotangents. With ``mesh``, the tile axis shards across the named mesh
+    axis (forward tiles sharded; backward pair-grad shards psummed).
 
     Returns raw accumulators [T, P, C+3]: C channels, expected depth,
     alpha (= sum of blend weights), n_contrib (backward bookkeeping)."""
     out, _, _ = _forward_impl(xy, conic, opacity, depth, colors, radius,
-                              visible_f > 0.5, width, height, cfg, interpret,
-                              mesh, axis)
+                              visible_f > 0.5, order_f.astype(jnp.int32),
+                              width, height, cfg, interpret, mesh, axis)
     return out
 
 
 def _blend_fwd_rule(xy, conic, opacity, depth, colors, radius, visible_f,
-                    width, height, cfg, interpret, mesh=None, axis="tile"):
+                    order_f, width, height, cfg, interpret, mesh=None,
+                    axis="tile"):
     out, pr, gpair = _forward_impl(xy, conic, opacity, depth, colors, radius,
-                                   visible_f > 0.5, width, height, cfg,
-                                   interpret, mesh, axis)
+                                   visible_f > 0.5,
+                                   order_f.astype(jnp.int32), width, height,
+                                   cfg, interpret, mesh, axis)
     return out, (pr, gpair, out, xy.shape[0], colors.shape[-1], radius,
-                 visible_f)
+                 visible_f, order_f)
 
 
 def _blend_bwd_rule(width, height, cfg, interpret, mesh, axis, res, cot):
-    pr, gpair, fwd_out, n, C, radius, visible_f = res
+    pr, gpair, fwd_out, n, C, radius, visible_f, order_f = res
     cot_main = cot[..., :C + 2]                  # ignore n_contrib cotangent
     dxy, dconic, dop, ddepth, dcolors = _backward_impl(
-        pr, gpair, fwd_out, cot_main, width, height, cfg, n, C, interpret,
-        mesh, axis)
+        pr, gpair, fwd_out, cot_main, order_f.astype(jnp.int32), width,
+        height, cfg, n, C, interpret, mesh, axis)
     return (dxy, dconic, dop, ddepth, dcolors,
-            jnp.zeros_like(radius), jnp.zeros_like(visible_f))
+            jnp.zeros_like(radius), jnp.zeros_like(visible_f),
+            jnp.zeros_like(order_f))
 
 
 blend_pairs.defvjp(_blend_fwd_rule, _blend_bwd_rule)
