@@ -20,8 +20,16 @@ import os
 import numpy as np
 from PIL import Image
 
+from splatloc_tpu.data import native_io
+
 
 def _imread_rgb(path: str, size=None) -> np.ndarray:
+    if size is None and path.endswith(".png") and native_io.available():
+        with Image.open(path) as probe:
+            w, h = probe.size
+        arr = native_io.png_read_rgb(path, w, h)
+        if arr is not None:
+            return arr.astype(np.float32) / 255.0
     img = Image.open(path).convert("RGB")
     if size is not None and img.size != size:
         img = img.resize(size, Image.BILINEAR)
@@ -29,6 +37,12 @@ def _imread_rgb(path: str, size=None) -> np.ndarray:
 
 
 def _imread_depth(path: str, scale: float) -> np.ndarray:
+    if path.endswith(".png") and native_io.available():
+        with Image.open(path) as probe:
+            w, h = probe.size
+        arr = native_io.png_read_depth16(path, w, h)
+        if arr is not None:
+            return arr.astype(np.float32) / scale
     img = Image.open(path)
     arr = np.asarray(img)
     return arr.astype(np.float32) / scale

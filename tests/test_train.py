@@ -131,3 +131,36 @@ def test_framestore_roundtrip(rng):
                                atol=1e-3)
     np.testing.assert_allclose(np.asarray(got["score"][0]).astype(np.float32),
                                score, atol=1e-3)
+
+
+def test_checkpoint_resume(rng, tmp_path):
+    """Save/load must restore bit-identical training trajectories."""
+    from splatloc_tpu.train import checkpoint
+    cfg = MappingConfig(width=32, height=24, fx=25.0, fy=25.0, cx=16.0,
+                        cy=12.0, window_size=2, tile_chunk=2,
+                        max_per_tile=128, kp_budget=32, nonkp_budget=256,
+                        pcd_downsample=2, gaussian_reset=10 ** 9,
+                        gaussian_update_every=10 ** 9)
+    def mk():
+        return MappingTrainer(cfg, capacity=1024, frame_capacity=4, seed=3)
+
+    t1 = mk()
+    frames = _synthetic_frames(np.random.default_rng(5), cfg, n_frames=2)
+    for f in frames:
+        t1.add_keyframe(*f)
+    t1.map(iters=5)
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save(t1, path)
+
+    # continue original
+    t1.map(iters=5)
+
+    # restore into a fresh trainer and continue identically
+    t2 = mk()
+    checkpoint.load(t2, path)
+    t2.map(iters=5)
+    np.testing.assert_allclose(np.asarray(t2.scene.xyz),
+                               np.asarray(t1.scene.xyz), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(t2.scene.opacity),
+                               np.asarray(t1.scene.opacity), atol=1e-7)
+    assert t2.iteration == t1.iteration
