@@ -83,9 +83,12 @@ class EvalSession:
     # -- eval_pose (test.py:463-517) -----------------------------------
 
     def eval_pose(self, file_name: str = "eval_pose.txt",
-                  subset_xyz=None, max_queries: int | None = None):
+                  subset_xyz=None, max_queries: int | None = None,
+                  save_pose: bool = False):
         loc = self.make_localizer(subset_xyz)
         r_t, r_r, m_t, m_r = [], [], [], []
+        poses = {"retrieval_r": [], "retrieval_t": [], "match_r": [],
+                 "match_t": [], "gt": []}
         n = len(self.test_dataset)
         if max_queries:
             n = min(n, max_queries)
@@ -107,6 +110,12 @@ class EvalSession:
             r_t.append(rt)
             m_r.append(mr)
             m_t.append(mt)
+            if save_pose:
+                poses["retrieval_r"].append(retrieval_ret["r"])
+                poses["retrieval_t"].append(retrieval_ret["t"])
+                poses["match_r"].append(match_ret["r"])
+                poses["match_t"].append(match_ret["t"])
+                poses["gt"].append(qf["c2w"])
         print(f"eval_pose over {len(m_t)} queries")
         if m_t:
             print(f"  Retrieval median: {np.median(r_t)*100:.2f} cm "
@@ -115,6 +124,16 @@ class EvalSession:
                   f"{np.median(m_r):.3f} deg")
             metrics.write_pose_report(os.path.join(self.save_dir, file_name),
                                       r_t, r_r, m_t, m_r)
+        if save_pose and m_t:
+            # reference save_poses/save_errors npy dumps (test.py:437-461)
+            d = os.path.join(self.save_dir, "save_pose")
+            os.makedirs(d, exist_ok=True)
+            for k, v in poses.items():
+                np.save(os.path.join(d, f"{k}.npy"), np.stack(v))
+            np.save(os.path.join(d, "retrieval_errors.npy"),
+                    np.stack([r_t, r_r]))
+            np.save(os.path.join(d, "match_errors.npy"),
+                    np.stack([m_t, m_r]))
         return m_t, m_r
 
     # -- eval_rendering (test.py:519-551) ------------------------------
