@@ -146,6 +146,27 @@ def extract_surface_points(vol: TSDFVolume, max_points: int = 500_000,
     return points.astype(np.float32), colors.astype(np.float32)
 
 
+def save_volume(vol: TSDFVolume, path: str):
+    """Persist the volume (reference utils/fusion_utils.py:295-311)."""
+    import os
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez_compressed(path, origin=np.asarray(vol.origin),
+                        voxel_size=vol.voxel_size, sdf_trunc=vol.sdf_trunc,
+                        tsdf=np.asarray(vol.tsdf),
+                        weight=np.asarray(vol.weight),
+                        color=np.asarray(vol.color))
+
+
+def load_volume(path: str) -> TSDFVolume:
+    z = np.load(path)
+    return TSDFVolume(origin=jnp.asarray(z["origin"]),
+                      voxel_size=float(z["voxel_size"]),
+                      sdf_trunc=float(z["sdf_trunc"]),
+                      tsdf=jnp.asarray(z["tsdf"]),
+                      weight=jnp.asarray(z["weight"]),
+                      color=jnp.asarray(z["color"]))
+
+
 @functools.partial(jax.jit, static_argnames=())
 def _fuse_point_features(acc, wsum, pts, feat_hw, depth, K, w2c,
                          depth_tol):

@@ -88,3 +88,45 @@ def test_params_save_load(tmp_path):
     np.testing.assert_allclose(np.asarray(back["table"]),
                                np.asarray(params["table"]))
     assert len(back["layers"]) == len(params["layers"])
+
+
+def test_autoencoder_roundtrip(rng):
+    from splatloc_tpu.fields import autoencoder as ae
+    params = ae.init_autoencoder(jax.random.PRNGKey(0),
+                                 encoder_dims=(64, 16),
+                                 decoder_dims=(64, 64), in_dim=64)
+    x = jnp.asarray(rng.normal(size=(8, 64)).astype(np.float32))
+    z = ae.encode(params, x)
+    y = ae.forward(params, x)
+    assert z.shape == (8, 16) and y.shape == (8, 64)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(z, axis=-1)), 1.0,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(y, axis=-1)), 1.0,
+                               atol=1e-5)
+
+
+def test_tsdf_volume_save_load(tmp_path, rng):
+    from splatloc_tpu.fields import fusion
+    bound = np.array([[-1, 1], [-1, 1], [0, 2]], np.float32)
+    vol = fusion.TSDFVolume.create(bound, voxel_size=0.1)
+    K = np.array([[30.0, 0, 16], [0, 30.0, 12], [0, 0, 1]])
+    vol = fusion.integrate_frame(vol, np.full((24, 32), 1.5, np.float32),
+                                 np.full((24, 32, 3), 0.5, np.float32), K,
+                                 np.eye(4, dtype=np.float32))
+    p = str(tmp_path / "vol.npz")
+    fusion.save_volume(vol, p)
+    back = fusion.load_volume(p)
+    np.testing.assert_array_equal(np.asarray(back.tsdf), np.asarray(vol.tsdf))
+    assert back.voxel_size == vol.voxel_size
+
+
+def test_grad_mask(rng):
+    from splatloc_tpu.data.grad_mask import compute_grad_mask
+    rgb = np.full((64, 64, 3), 0.5, np.float32)
+    rgb[:, 32:] = 0.9   # vertical edge
+    mask = np.asarray(compute_grad_mask(jnp.asarray(rgb), dataset_type="replica",
+                                        rows=4, cols=4))
+    assert mask.shape == (64, 64)
+    # the edge column must be flagged
+    assert mask[:, 31:33].mean() > 0.5
+    assert mask[:, :16].mean() < 0.2
