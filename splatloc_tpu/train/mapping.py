@@ -99,10 +99,11 @@ class MappingConfig:
     kp_score_lr: float = 0.05
     scaling_lr: float = 0.001
     rotation_lr: float = 0.001
-    # rasterizer
+    # rasterizer; use_pallas None = auto (Pallas on TPU, XLA path on CPU)
     tile_size: int = 16
     max_per_tile: int = 1024
     tile_chunk: int = 32
+    use_pallas: bool | None = None
     # insertion budgets
     kp_budget: int = 16384
     nonkp_budget: int = 8192
@@ -111,9 +112,14 @@ class MappingConfig:
     adaptive_pointsize: bool = True
 
     def raster_config(self) -> RasterConfig:
+        import jax as _jax
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            use_pallas = _jax.default_backend() != "cpu"
         return RasterConfig(tile_size=self.tile_size,
                             max_per_tile=self.max_per_tile,
-                            tile_chunk=self.tile_chunk)
+                            tile_chunk=self.tile_chunk,
+                            use_pallas=use_pallas)
 
     def opt_lr_dict(self) -> dict:
         return {
