@@ -108,3 +108,20 @@ def render(scene, camera: Camera, cfg: RasterConfig = RasterConfig(),
         "opacity": out.alpha,
         "means2d": out.means2d,
     }
+
+
+def render_features(scene, camera: Camera, feature_colors: jax.Array,
+                    cfg: RasterConfig = RasterConfig(),
+                    bg: jax.Array | None = None):
+    """Composite arbitrary per-Gaussian feature channels (e.g. descriptor
+    features decoded at Gaussian centers) into a feature image — the
+    BASELINE "descriptor-channel rendering" capability. feature_colors
+    [N, K]; K + 8 <= 32 for the Pallas path.
+
+    Returns dict(feature_map [H,W,K], depth, alpha).
+    """
+    out = rasterize(scene.xyz, scene.scaling_activated(), scene.rotation,
+                    scene.opacity_activated(), feature_colors, camera, cfg,
+                    bg=bg, alive=scene.alive)
+    return {"feature_map": out.image, "depth": out.depth,
+            "opacity": out.alpha}

@@ -104,3 +104,31 @@ def test_pallas_means2d_offset_grad(rng):
     radii = np.asarray(out.radii)
     assert np.all(g[radii == 0] == 0)
     assert np.any(np.abs(g[radii > 0]) > 0)
+
+
+def test_multichannel_feature_rendering(rng):
+    """20-channel compositing (descriptor rendering) — exercises the
+    32-row gdata layout — must match the XLA path."""
+    n = 120
+    means = np.stack([rng.uniform(-1, 1, n), rng.uniform(-0.8, 0.8, n),
+                      rng.uniform(1.5, 4, n)], -1).astype(np.float32)
+    scales = np.full((n, 3), 0.06, np.float32)
+    quats = np.tile(np.array([1, 0, 0, 0], np.float32), (n, 1))
+    opac = rng.uniform(0.3, 0.9, n).astype(np.float32)
+    feats = rng.normal(size=(n, 20)).astype(np.float32)
+    args = tuple(map(jnp.asarray, (means, scales, quats, opac, feats)))
+    cam = make_camera()
+    out_x = rasterize(*args, cam, CFG_X)
+    out_p = rasterize(*args, cam, CFG_P)
+    np.testing.assert_allclose(np.asarray(out_p.image),
+                               np.asarray(out_x.image), atol=2e-5)
+    # gradient parity on the feature channels
+    def loss(cfg):
+        def f(feats):
+            o = rasterize(args[0], args[1], args[2], args[3], feats, cam, cfg)
+            return jnp.sum(o.image ** 2)
+        return f
+    g_x = jax.grad(loss(CFG_X))(args[4])
+    g_p = jax.grad(loss(CFG_P))(args[4])
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-5,
+                               rtol=1e-4)
