@@ -146,18 +146,24 @@ class EvalSession:
         lp = metrics.lpips_fn(metrics.load_lpips_params(
             os.path.join(os.path.dirname(__file__), "..", "..", "weights",
                          "lpips_alex.npz")))
+
+        # one jitted render+metrics program, reused across frames
+        @jax.jit
+        def frame_metrics(scene, w2c, gt):
+            out = render(scene, cam0.replace_pose(w2c), self.raster_cfg)
+            img = jnp.clip(out["render"], 0.0, 1.0)
+            return (metrics.psnr_masked(img, gt), ssim(img, gt), img)
+
         psnrs, ssims, lpipss = [], [], []
         n = len(ds) if max_frames is None else min(len(ds), max_frames)
         for i in range(n):
             f = ds.get_frame(i)
             if not f["valid"]:
                 continue
-            cam = cam0.replace_pose(jnp.asarray(f["w2c"]))
-            out = render(self.scene, cam, self.raster_cfg)
-            img = jnp.clip(out["render"], 0.0, 1.0)
             gt = jnp.asarray(f["rgb"], jnp.float32)
-            psnrs.append(float(metrics.psnr_masked(img, gt)))
-            ssims.append(float(ssim(img, gt)))
+            p, s_, img = frame_metrics(self.scene, jnp.asarray(f["w2c"]), gt)
+            psnrs.append(float(p))
+            ssims.append(float(s_))
             lpipss.append(float(lp(img, gt)))
         out = {"mean_psnr": float(np.mean(psnrs)),
                "mean_ssim": float(np.mean(ssims)),

@@ -164,3 +164,45 @@ def test_checkpoint_resume(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(t2.scene.opacity),
                                np.asarray(t1.scene.opacity), atol=1e-7)
     assert t2.iteration == t1.iteration
+
+
+def test_mapping_determinism(rng):
+    """Two trainers with the same seed must produce identical scenes — the
+    deterministic-compositing correctness invariant (SURVEY §5)."""
+    cfg = MappingConfig(width=32, height=24, fx=25.0, fy=25.0, cx=16.0,
+                        cy=12.0, window_size=2, tile_chunk=2,
+                        max_per_tile=128, kp_budget=32, nonkp_budget=256,
+                        pcd_downsample=2, gaussian_reset=10 ** 9,
+                        gaussian_update_every=10 ** 9)
+    frames = _synthetic_frames(np.random.default_rng(9), cfg, n_frames=2)
+
+    def run():
+        t = MappingTrainer(cfg, capacity=1024, frame_capacity=4, seed=11)
+        for f in frames:
+            t.add_keyframe(*f)
+        t.map(iters=6)
+        return t
+
+    t1, t2 = run(), run()
+    np.testing.assert_array_equal(np.asarray(t1.scene.xyz),
+                                  np.asarray(t2.scene.xyz))
+    np.testing.assert_array_equal(np.asarray(t1.scene.opacity),
+                                  np.asarray(t2.scene.opacity))
+
+
+def test_mapping_no_nans_long(rng):
+    """NaN guard: an extended run with densify + opacity reset stays finite."""
+    cfg = MappingConfig(width=32, height=24, fx=25.0, fy=25.0, cx=16.0,
+                        cy=12.0, window_size=2, tile_chunk=2,
+                        max_per_tile=128, kp_budget=32, nonkp_budget=256,
+                        pcd_downsample=2, gaussian_update_every=11,
+                        gaussian_update_offset=5, gaussian_th=0.3,
+                        gaussian_reset=17)
+    t = MappingTrainer(cfg, capacity=2048, frame_capacity=4, seed=2)
+    for f in _synthetic_frames(np.random.default_rng(4), cfg, n_frames=2):
+        t.add_keyframe(*f)
+    t.map(iters=40)
+    for k in t.scene.PARAM_FIELDS:
+        arr = np.asarray(getattr(t.scene, k))
+        alive = np.asarray(t.scene.alive)
+        assert np.isfinite(arr[alive]).all(), k
