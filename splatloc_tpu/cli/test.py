@@ -17,7 +17,6 @@ from splatloc_tpu.core.camera import Camera
 from splatloc_tpu.eval import metrics, selection
 from splatloc_tpu.fields import FeatureFieldConfig
 from splatloc_tpu.match.localize import (Localizer, PrecomputedQueryFeatures,
-                                         REPLICA_EVAL_K, SCENES12_EVAL_K,
                                          load_retrieval_table)
 from splatloc_tpu.raster import render
 from splatloc_tpu.raster.types import RasterConfig

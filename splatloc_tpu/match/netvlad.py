@@ -12,7 +12,6 @@ matmul — MXU food.
 """
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -109,7 +109,6 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     flat = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (flat % ts).astype(jnp.float32) + ox.astype(jnp.float32)
     py = (flat // ts).astype(jnp.float32) + oy.astype(jnp.float32)
-    tf = jnp.float32  # noqa
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(
