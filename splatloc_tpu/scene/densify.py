@@ -119,10 +119,7 @@ def densify_and_prune(
 
     # Insert clones then children; zero Adam state at the new slots.
     def insert_with_state(scene, opt_state, vals, valid):
-        B = valid.shape[0]
-        slots = scene.free_slots(B)
-        ok = valid & (slots < scene.capacity)
-        dst = jnp.where(ok, slots, scene.capacity)
+        dst, ok = scene.slots_for(valid)
         new = {k: getattr(scene, k).at[dst].set(vals[k], mode="drop")
                for k in scene.PARAM_FIELDS}
         scene = scene.replace(alive=scene.alive.at[dst].set(True, mode="drop"),

@@ -115,16 +115,27 @@ class GaussianScene:
                                   mode="drop")
         return slots[:budget]
 
+    def slots_for(self, valid_new: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Compactly assign free slots to the VALID entries of a budget-B
+        batch: the r-th valid entry gets the r-th free slot, so invalid
+        entries never waste slots (correct even when B > free capacity).
+
+        Returns (dst [B] with OOB sentinel for dropped, ok [B])."""
+        B = valid_new.shape[0]
+        slots = self.free_slots(B)                       # [B] free slot ids
+        rank = jnp.cumsum(valid_new) - 1                 # rank among valid
+        entry_slot = slots[jnp.clip(rank, 0, B - 1)]
+        ok = valid_new & (entry_slot < self.capacity)
+        dst = jnp.where(ok, entry_slot, self.capacity)   # OOB => dropped
+        return dst, ok
+
     def insert(self, values: dict, valid_new: jax.Array) -> "GaussianScene":
         """Scatter new Gaussians into free slots.
 
         values: dict of PARAM_FIELDS arrays with leading dim B (budget);
         valid_new: [B] bool. Extra points beyond free capacity are dropped.
         """
-        B = valid_new.shape[0]
-        slots = self.free_slots(B)                       # [B]
-        ok = valid_new & (slots < self.capacity)
-        dst = jnp.where(ok, slots, self.capacity)        # OOB => dropped
+        dst, ok = self.slots_for(valid_new)
         new = {}
         for k in self.PARAM_FIELDS:
             cur = getattr(self, k)

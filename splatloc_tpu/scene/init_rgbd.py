@@ -119,9 +119,7 @@ def add_frame(scene: GaussianScene, opt_state: optim.AdamState,
     if scene.f_rest.shape[1] != values["f_rest"].shape[1]:
         B = valid.shape[0]
         values["f_rest"] = jnp.zeros((B, scene.f_rest.shape[1], 3), jnp.float32)
-    slots = scene.free_slots(valid.shape[0])
-    ok = valid & (slots < scene.capacity)
-    dst = jnp.where(ok, slots, scene.capacity)
+    dst, ok = scene.slots_for(valid)
     new = {k: getattr(scene, k).at[dst].set(values[k], mode="drop")
            for k in scene.PARAM_FIELDS}
     scene = scene.replace(alive=scene.alive.at[dst].set(True, mode="drop"),

@@ -243,3 +243,25 @@ def test_reset_opacity_nonvisible():
     np.testing.assert_allclose(op[3:], 0.4, atol=1e-6)
     np.testing.assert_allclose(op[:3], 1 / (1 + np.exp(-2.0)), atol=1e-6)
     assert np.all(np.asarray(state2.m["opacity"]) == 0)
+
+
+def test_insert_budget_exceeds_capacity_compacts_valid():
+    """Regression: with budget > capacity and sparse validity, ALL valid
+    entries must land (invalid positions must not waste free slots)."""
+    scene = GaussianScene.empty(16)
+    B = 64
+    vals = {
+        "xyz": jnp.tile(jnp.arange(B, dtype=jnp.float32)[:, None], (1, 3)),
+        "f_dc": jnp.ones((B, 1, 3)), "f_rest": jnp.zeros((B, 0, 3)),
+        "scaling": jnp.zeros((B, 3)),
+        "rotation": jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (B, 1)),
+        "opacity": jnp.zeros((B, 1)), "marker": jnp.zeros((B, 1)),
+        "kp_score": jnp.zeros((B, 1)),
+    }
+    # 10 valid entries scattered across the budget, some beyond capacity pos
+    valid = jnp.zeros((B,), bool).at[jnp.array([1, 5, 20, 30, 40, 45, 50,
+                                                55, 60, 63])].set(True)
+    out = scene.insert(vals, valid)
+    assert int(out.num_alive) == 10
+    got = sorted(np.asarray(out.xyz[np.asarray(out.alive), 0]).tolist())
+    assert got == [1, 5, 20, 30, 40, 45, 50, 55, 60, 63]
