@@ -35,7 +35,7 @@ from splatloc_tpu.raster.types import RasterConfig
 # attribute-major row layout of per-pair data
 R_X, R_Y, R_CA, R_CB, R_CC, R_OP, R_DEPTH, R_TILE = 0, 1, 2, 3, 4, 5, 6, 7
 N_FIXED = 8
-CHUNK = 256
+CHUNK = 128
 
 
 def _rows_for(c: int) -> int:
