@@ -18,7 +18,7 @@ import numpy as np
 from PIL import Image
 
 from splatloc_tpu.core.camera import Camera
-from splatloc_tpu.raster.reference import rasterize_reference
+from splatloc_tpu.raster import rasterize
 from splatloc_tpu.raster.types import RasterConfig
 from splatloc_tpu.scene.ply import write_ply
 
@@ -55,6 +55,14 @@ def generate(root: str, n_train: int = 8, n_test: int = 4,
 
     cfg = RasterConfig(tile_chunk=8, max_per_tile=512)
 
+    @jax.jit
+    def _render(w2c):
+        cam = Camera.create(w2c, fx, fy, cx, cy, width, height)
+        out = rasterize(jnp.asarray(means), jnp.asarray(scales),
+                        jnp.asarray(quats), jnp.asarray(opac),
+                        jnp.asarray(colors), cam, cfg)
+        return out.image, out.depth
+
     def pose_for(i, n, test=False):
         ang = 0.25 * (i - n / 2) / max(n, 1) + (0.013 if test else 0.0)
         c2w = np.eye(4, dtype=np.float32)
@@ -66,11 +74,9 @@ def generate(root: str, n_train: int = 8, n_test: int = 4,
         return c2w
 
     def render_frame(c2w):
-        w2c = np.linalg.inv(c2w)
+        w2c = np.linalg.inv(c2w).astype(np.float32)
         cam = Camera.create(w2c, fx, fy, cx, cy, width, height)
-        img, dep, alp, _ = rasterize_reference(
-            jnp.asarray(means), jnp.asarray(scales), jnp.asarray(quats),
-            jnp.asarray(opac), jnp.asarray(colors), cam, cfg)
+        img, dep = _render(jnp.asarray(w2c))
         return np.asarray(img), np.asarray(dep), cam
 
     def project(cam, pts):
