@@ -71,21 +71,31 @@ class EvalSession:
         self.raster_cfg = RasterConfig(
             use_pallas=jax.default_backend() != "cpu")
 
-    def make_localizer(self, subset_xyz=None) -> Localizer:
+    def make_localizer(self, subset_xyz=None,
+                       save_match: bool = False) -> Localizer:
+        match_dir = (os.path.join(self.save_dir, "save_match")
+                     if save_match else None)
         return Localizer(self.scene, self.decoder_params, self.field_cfg,
                          self.train_dataset, self.retrieval_table,
                          self.query_features, self.eval_K,
                          subset_xyz=subset_xyz,
                          refine_with_render_loss=self.refine,
-                         inlier_px=self.inlier_px)
+                         inlier_px=self.inlier_px,
+                         save_match_dir=match_dir)
 
     # -- eval_pose (test.py:463-517) -----------------------------------
 
     def eval_pose(self, file_name: str = "eval_pose.txt",
                   subset_xyz=None, max_queries: int | None = None,
-                  save_pose: bool = False):
-        loc = self.make_localizer(subset_xyz)
+                  save_pose: bool = False, save_match: bool = False):
+        """Protocol: every valid query with a retrieval entry is counted in
+        BOTH medians. On match failure (<5 candidates or PnP failure) the
+        match pose falls back to the retrieval pose (reference
+        test.py:318-326) and the query stays in the population; solved and
+        failed counts are reported so the numbers are comparable."""
+        loc = self.make_localizer(subset_xyz, save_match=save_match)
         r_t, r_r, m_t, m_r = [], [], [], []
+        n_solved = n_failed = 0
         poses = {"retrieval_r": [], "retrieval_t": [], "match_r": [],
                  "match_t": [], "gt": []}
         n = len(self.test_dataset)
@@ -99,8 +109,10 @@ class EvalSession:
             if name not in loc.retrieval_table:
                 continue
             retrieval_ret, match_ret = loc.localize(qf, name)
-            if not match_ret["success"]:
-                continue
+            if match_ret["success"]:
+                n_solved += 1
+            else:
+                n_failed += 1
             rr, rt = metrics.pose_errors(retrieval_ret["r"],
                                          retrieval_ret["t"], qf["c2w"])
             mr, mt = metrics.pose_errors(match_ret["r"], match_ret["t"],
@@ -115,14 +127,16 @@ class EvalSession:
                 poses["match_r"].append(match_ret["r"])
                 poses["match_t"].append(match_ret["t"])
                 poses["gt"].append(qf["c2w"])
-        print(f"eval_pose over {len(m_t)} queries")
+        print(f"eval_pose over {len(m_t)} queries "
+              f"({n_solved} solved, {n_failed} retrieval-fallback)")
         if m_t:
             print(f"  Retrieval median: {np.median(r_t)*100:.2f} cm "
                   f"{np.median(r_r):.3f} deg")
             print(f"  Match     median: {np.median(m_t)*100:.2f} cm "
                   f"{np.median(m_r):.3f} deg")
             metrics.write_pose_report(os.path.join(self.save_dir, file_name),
-                                      r_t, r_r, m_t, m_r)
+                                      r_t, r_r, m_t, m_r,
+                                      n_solved=n_solved, n_failed=n_failed)
         if save_pose and m_t:
             # reference save_poses/save_errors npy dumps (test.py:437-461)
             d = os.path.join(self.save_dir, "save_pose")
@@ -200,6 +214,11 @@ def main(argv=None):
     parser.add_argument("--landmark_num", type=int, default=5000)
     parser.add_argument("--refine_pose", action="store_true",
                         help="render-loss 6-DoF refinement after PnP")
+    parser.add_argument("--save_pose", action="store_true",
+                        help="dump pose/error npy arrays (test.py:437-461)")
+    parser.add_argument("--save_match", action="store_true",
+                        help="dump per-query 2D-3D match npy "
+                             "(test.py:358-368)")
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
@@ -207,7 +226,8 @@ def main(argv=None):
     session = EvalSession(config, save_dir,
                           refine_with_render_loss=args.refine_pose)
     if args.eval_pose:
-        session.eval_pose()
+        session.eval_pose(save_pose=args.save_pose,
+                          save_match=args.save_match)
     if args.eval_rendering:
         session.eval_rendering()
     if args.eval_selection:

@@ -84,7 +84,12 @@ class _BaseDataset:
         self.load_sp_feat_flag = value
 
     def name_to_index(self, name: str) -> int:
-        matches = [i for i, p in enumerate(self.color_paths) if name in p]
+        """Exact extension-stripped basename match (reference
+        utils/dataset.py:79-82,307-314 uses substring/exact-with-ext; we
+        normalize both sides so 'rgb_5' cannot collide with rgb_50.png)."""
+        base = os.path.basename(name).split(".")[0]
+        matches = [i for i, p in enumerate(self.color_paths)
+                   if os.path.basename(p).split(".")[0] == base]
         assert len(matches) == 1, (name, matches)
         return matches[0]
 
@@ -182,7 +187,9 @@ class Scenes12Dataset(_BaseDataset):
         super().__init__(config, train)
         parts = self.input_folder.rstrip("/").split("/")
         self.scene_name = parts[-2] + "_" + parts[-1]
-        self._set_generated(self.scene_name)
+        # Reference maps office*->of* when locating generated artifacts
+        # (utils/dataset.py:239: scene_name.replace('office', 'of')).
+        self._set_generated(self.scene_name.replace("office", "of"))
         split, end = self._parse_split()
         self.split_index = split
         if train:

@@ -115,9 +115,13 @@ def write_rendering_report(path: str, mean_psnr, mean_ssim, mean_lpips):
         f.write(f"mean_lpips: {mean_lpips}")
 
 
-def write_pose_report(path: str, retrieval_t, retrieval_r, match_t, match_r):
+def write_pose_report(path: str, retrieval_t, retrieval_r, match_t, match_r,
+                      n_solved: int | None = None,
+                      n_failed: int | None = None):
     """eval_pose.txt, reference format (test.py:506-513). Inputs are error
-    lists (meters / degrees)."""
+    lists (meters / degrees) over ALL valid queries — failed matches carry
+    the retrieval-pose fallback (test.py:318-326). Solved/failed counts are
+    appended so the query population is auditable."""
     import os
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
@@ -126,3 +130,6 @@ def write_pose_report(path: str, retrieval_t, retrieval_r, match_t, match_r):
             np.median(retrieval_t) * 100, np.median(retrieval_r)))
         f.write("Match    : Trans.(cm): {}. Rotation(deg): {}.\n".format(
             np.median(match_t) * 100, np.median(match_r)))
+        if n_solved is not None:
+            f.write("Solved: {}. Failed (retrieval fallback): {}.\n".format(
+                n_solved, n_failed))

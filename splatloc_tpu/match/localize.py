@@ -85,7 +85,8 @@ class Localizer:
                  marker_thresh: float = 0.005, sim_thresh: float = 0.4,
                  subset_xyz: np.ndarray | None = None,
                  refine_with_render_loss: bool = False,
-                 inlier_px: float = 12.0):
+                 inlier_px: float = 12.0,
+                 save_match_dir: str | None = None):
         self.scene = scene
         self.decoder_params = decoder_params
         self.field_cfg = field_cfg
@@ -98,6 +99,7 @@ class Localizer:
         self.subset_xyz = subset_xyz
         self.refine_with_render_loss = refine_with_render_loss
         self.inlier_px = inlier_px
+        self.save_match_dir = save_match_dir
         # host copies of the map
         alive = np.asarray(scene.alive)
         self.xyz = np.asarray(scene.xyz)[alive]
@@ -151,6 +153,16 @@ class Localizer:
         ret = pnp.solve_pnp_ransac(q2d.astype(np.float32),
                                    p3d.astype(np.float32), self.eval_K,
                                    inlier_px=self.inlier_px)
+        if self.save_match_dir is not None:
+            # per-query 2D-3D match dump for visualization/debug
+            # (reference test.py:358-368)
+            match_info = {"success": bool(ret["success"]),
+                          "2d": q2d, "3d": p3d}
+            if ret["success"]:
+                match_info["inliers"] = ret["inliers"]
+            os.makedirs(self.save_match_dir, exist_ok=True)
+            np.save(os.path.join(self.save_match_dir, f"{query_name}.npy"),
+                    match_info)
         if not ret["success"]:
             return retrieval_ret, {**retrieval_ret, "success": False}
         match_ret = {"r": ret["r"], "t": ret["t"], "success": True,

@@ -49,6 +49,7 @@ def rasterize(
     order = binning.depth_sort(proj)
 
     if cfg.use_pallas:
+        from splatloc_tpu.raster import pairs as pairs_mod
         from splatloc_tpu.raster import pallas_raster
         interpret = jax.default_backend() == "cpu"
         acc = pallas_raster.blend_pairs(
@@ -59,9 +60,13 @@ def rasterize(
             camera.width, camera.height, cfg, interpret)
         image, depth, alpha = pallas_raster.assemble_image(
             acc, camera.width, camera.height, cfg, bg)
+        _, n_dropped = pairs_mod.pair_stats(
+            jax.lax.stop_gradient(proj.xy),
+            jax.lax.stop_gradient(proj.radius), proj.visible,
+            camera.width, camera.height, cfg)
     else:
-        lists, _counts = binning.tile_lists(proj, order, camera.width,
-                                            camera.height, cfg)
+        lists, _counts, n_dropped = binning.tile_lists(
+            proj, order, camera.width, camera.height, cfg)
         image, depth, alpha = blend.blend_image(
             lists,
             proj.xy[order],
@@ -72,7 +77,8 @@ def rasterize(
             camera.width, camera.height, cfg, bg)
 
     return RenderOutput(image=image, depth=depth, alpha=alpha,
-                        radii=proj.radius.astype(jnp.int32), means2d=proj.xy)
+                        radii=proj.radius.astype(jnp.int32), means2d=proj.xy,
+                        n_dropped=n_dropped)
 
 
 def render(scene, camera: Camera, cfg: RasterConfig = RasterConfig(),

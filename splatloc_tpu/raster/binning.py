@@ -30,7 +30,8 @@ def tile_lists(
 ):
     """Build per-tile index lists.
 
-    Returns (lists [T, K] int32 indices into the *sorted* axis, counts [T]).
+    Returns (lists [T, K] int32 indices into the *sorted* axis, counts [T],
+    n_dropped [] int32 entries lost to the per-tile capacity K).
     Entries beyond a tile's count are N (out-of-range sentinel).
     T = tiles_y * tiles_x, row-major. Capacity overflow keeps the closest K.
     """
@@ -61,11 +62,13 @@ def tile_lists(
         mask = (visible & (rminx <= txi) & (txi < rmaxx)
                 & (rminy <= tyi) & (tyi < rmaxy))
         pos = jnp.cumsum(mask) - 1                        # [N]
-        count = jnp.minimum(pos[-1] + 1, K)
+        raw_count = pos[-1] + 1
+        count = jnp.minimum(raw_count, K)
         dst = jnp.where(mask & (pos < K), pos, K)
         lst = jnp.full((K + 1,), N, dtype=jnp.int32)
         lst = lst.at[dst].set(jnp.arange(N, dtype=jnp.int32), mode="drop")
-        return lst[:K], count.astype(jnp.int32)
+        return (lst[:K], count.astype(jnp.int32),
+                jnp.maximum(raw_count - K, 0).astype(jnp.int32))
 
     # Chunk the vmap over tiles to bound the [chunk, N] mask memory.
     chunk = max(cfg.tile_chunk, 1)
@@ -78,7 +81,8 @@ def tile_lists(
     def chunk_fn(args):
         return jax.vmap(build_tile)(args)
 
-    lists, counts = jax.lax.map(chunk_fn, (txc, tyc))
+    lists, counts, dropped = jax.lax.map(chunk_fn, (txc, tyc))
     lists = lists.reshape(-1, K)[:T]
     counts = counts.reshape(-1)[:T]
-    return lists, counts
+    n_dropped = jnp.sum(dropped.reshape(-1)[:T])
+    return lists, counts, n_dropped

@@ -1,8 +1,8 @@
 """Pallas TPU rasterization core: pair-segment walk, forward + backward.
 
 The differentiable blend over sort-binned (Gaussian, tile) pairs
-(see pairs.py). Per tile, both kernels walk the tile's contiguous pair
-segment in [CHUNK]-sized slabs of attribute-major data:
+(see pairs.py). Per tile, both kernels walk the tile's contiguous,
+128-ALIGNED pair segment in [CHUNK]-sized slabs of attribute-major data:
 
 - forward: front-to-back compositing via lane-axis cumprod, MXU matmul for
   the weighted accumulation, per-pixel early exit at transmittance_eps, and
@@ -11,13 +11,22 @@ segment in [CHUNK]-sized slabs of attribute-major data:
 - backward: reverse walk from the last contributing chunk, reconstructing
   transmittance by division over *blended* pairs only (numerically safe, the
   CUDA scheme) and producing analytic gradients for xy/conic/opacity/
-  depth/channels per pair; boundary chunks are accumulated read-modify-write
-  (the TPU grid is sequential). Per-pair gradients reduce to per-Gaussian
-  gradients by a second key sort + segmented cumsum — no large scatters
-  anywhere.
+  depth/channels per pair. Because segments are 128-aligned, every gradient
+  slab is owned by exactly one tile: stores are pure writes (no RMW), and a
+  depth-2 ring of in-flight write DMAs hides the store latency. Per-pair
+  gradients reduce to per-Gaussian gradients with one segment_sum — no large
+  scatters anywhere.
+
+Alignment padding pairs carry Gaussian index N whose packed attributes are
+all zero -> opacity 0 -> inert in the blend; neither kernel needs tile-id or
+segment-window masks.
 
 ``blend_pairs`` wraps the two in a jax.custom_vjp; everything upstream
 (projection, SH, activations, camera pose) stays ordinary JAX autodiff.
+
+Replaces the reference CUDA rasterizer (submodules/diff-gaussian-
+rasterization, call contract at gaussian_splatting/gaussian_renderer/
+__init__.py:117-126), adding camera-pose gradients the reference never had.
 """
 from __future__ import annotations
 
@@ -33,13 +42,15 @@ from splatloc_tpu.raster import pairs as pairs_mod
 from splatloc_tpu.raster.types import RasterConfig
 
 # attribute-major row layout of per-pair data
-R_X, R_Y, R_CA, R_CB, R_CC, R_OP, R_DEPTH, R_TILE = 0, 1, 2, 3, 4, 5, 6, 7
-N_FIXED = 8
+R_X, R_Y, R_CA, R_CB, R_CC, R_OP, R_DEPTH = 0, 1, 2, 3, 4, 5, 6
+N_FIXED = 7
 CHUNK = 128
 
 
 def _rows_for(c: int) -> int:
     need = N_FIXED + c
+    if need <= 8:
+        return 8
     return 16 if need <= 16 else 32
 
 
@@ -93,18 +104,14 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
                 gpair_hbm,                                   # [rows, PC] HBM
                 out_ref,                                     # [1, P, OUT]
                 gbuf, gsem,                                  # scratch
-                *, ts, n_channels, rows, alpha_max, alpha_min, t_eps,
-                grid_x):
+                *, ts, n_channels, rows, alpha_max, alpha_min, t_eps):
     t = pl.program_id(0)
     P = ts * ts
-    start = starts_ref[t]
+    lo = starts_ref[t]                     # 128-aligned by construction
     count = counts_ref[t]
     ox = origin_ref[2 * t]
     oy = origin_ref[2 * t + 1]
-
-    lo = (start // CHUNK) * CHUNK
-    span = start + count - lo
-    nchunks = pl.cdiv(span, CHUNK)
+    nchunks = pl.cdiv(count, CHUNK)
 
     flat = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (flat % ts).astype(jnp.float32) + ox.astype(jnp.float32)
@@ -120,9 +127,6 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         get_dma(0, 0).start()
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    # global tile id from the pixel origin (program_id is shard-local
-    # under shard_map)
-    tile_f = (oy // ts) * grid_x + (ox // ts)
 
     def body(state):
         j, t_carry, acc, ncontrib = state
@@ -141,17 +145,16 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         cb = _row(g, R_CB, rows, CHUNK)
         cc = _row(g, R_CC, rows, CHUNK)
         op = _row(g, R_OP, rows, CHUNK)
-        gtile = _row(g, R_TILE, rows, CHUNK)
 
-        # position of each pair in the global pair array
+        # absolute position of each pair in the global pair array
         pos = (lo + j * CHUNK + lane1).astype(jnp.float32)
-        mine = (gtile == tile_f) & (pos >= start) & (pos < start + count)
 
         dx = gxv - px
         dy = gyv - py
         power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
         alpha = jnp.minimum(op * jnp.exp(power), alpha_max)
-        keep = (power <= 0.0) & (alpha >= alpha_min) & mine
+        # padding pairs have all-zero attrs -> alpha 0 -> dropped here
+        keep = (power <= 0.0) & (alpha >= alpha_min)
         alpha = jnp.where(keep, alpha, 0.0)
 
         one_m = 1.0 - alpha
@@ -207,21 +210,22 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
                 gpair_hbm, fwd_ref, cot_ref, gzero_hbm,      # inputs
                 gout_hbm,                                    # [rows, PC] HBM
-                gbuf, wbuf, gsem, wsem,                      # scratch
+                gbuf, wbuf, gsem, wsem, wcnt,                # scratch
                 *, ts, n_channels, rows, alpha_max, alpha_min, t_eps,
-                grid_x):
+                n_tiles):
     del gzero_hbm  # aliased to gout_hbm; only here to init it with zeros
     t = pl.program_id(0)
     P = ts * ts
     OUTP = n_channels + 2
-    start = starts_ref[t]
+    lo = starts_ref[t]                     # 128-aligned by construction
     count = counts_ref[t]
     ox = origin_ref[2 * t]
     oy = origin_ref[2 * t + 1]
+    nchunks = pl.cdiv(count, CHUNK)
 
-    lo = (start // CHUNK) * CHUNK
-    span = start + count - lo
-    nchunks = pl.cdiv(span, CHUNK)
+    @pl.when(t == 0)
+    def _():
+        wcnt[0] = 0
 
     flat = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
     px = (flat % ts).astype(jnp.float32) + ox.astype(jnp.float32)
@@ -238,28 +242,27 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
             gpair_hbm.at[:, pl.ds(lo + j * CHUNK, CHUNK)],
             gbuf.at[slot], gsem.at[slot])
 
-    def read_grad(slot, j):
-        return pltpu.make_async_copy(
-            gout_hbm.at[:, pl.ds(lo + j * CHUNK, CHUNK)],
-            wbuf.at[slot], wsem.at[slot])
-
-    def write_grad(slot, j):
+    def write_start(slot, j):
         return pltpu.make_async_copy(
             wbuf.at[slot], gout_hbm.at[:, pl.ds(lo + j * CHUNK, CHUNK)],
             wsem.at[slot])
 
+    def write_waiter(slot):
+        # same byte count as any grad-slab write; dst slice is irrelevant
+        # for waiting on the semaphore
+        return pltpu.make_async_copy(
+            wbuf.at[slot], gout_hbm.at[:, pl.ds(0, CHUNK)], wsem.at[slot])
+
     # start from the last chunk that contains any contributor
     max_pos = jnp.max(ncontrib).astype(jnp.int32)
-    j_hi = jnp.where(max_pos < 0, -1,
+    j_hi = jnp.where(max_pos < lo, -1,
                      jnp.minimum((max_pos - lo) // CHUNK, nchunks - 1))
 
     @pl.when(j_hi >= 0)
     def _():
         get_dma(0, j_hi).start()
-        read_grad(0, j_hi).start()
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-    tile_f = (oy // ts) * grid_x + (ox // ts)
 
     def body(state):
         j, t_end, s_end = state
@@ -268,10 +271,8 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         @pl.when(j - 1 >= 0)
         def _():
             get_dma(jax.lax.rem(j_hi - (j - 1), 2), j - 1).start()
-            read_grad(jax.lax.rem(j_hi - (j - 1), 2), j - 1).start()
 
         get_dma(slot, j).wait()
-        read_grad(slot, j).wait()
         g = gbuf[slot]
 
         gxv = _row(g, R_X, rows, CHUNK)
@@ -280,10 +281,8 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         cb = _row(g, R_CB, rows, CHUNK)
         cc = _row(g, R_CC, rows, CHUNK)
         op = _row(g, R_OP, rows, CHUNK)
-        gtile = _row(g, R_TILE, rows, CHUNK)
 
         pos = (lo + j * CHUNK + lane1).astype(jnp.float32)
-        mine = (gtile == tile_f) & (pos >= start) & (pos < start + count)
 
         dx = gxv - px
         dy = gyv - py
@@ -291,7 +290,7 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         e = jnp.exp(power)
         raw = op * e
         alpha = jnp.minimum(raw, alpha_max)
-        keep = (power <= 0.0) & (alpha >= alpha_min) & mine
+        keep = (power <= 0.0) & (alpha >= alpha_min)
         alpha = jnp.where(keep, alpha, 0.0)
 
         b = keep & (jnp.broadcast_to(pos, (P, CHUNK)) <= ncontrib)
@@ -354,9 +353,19 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
             upd = upd + jnp.where(ri == N_FIXED + c,
                                   jnp.broadcast_to(d_c, (rows, CHUNK)), 0.0)
 
-        wbuf[slot] = wbuf[slot] + upd
-        write_grad(slot, j).start()
-        write_grad(slot, j).wait()
+        # pure store through a depth-2 ring of in-flight write DMAs
+        # (aligned segments: no slab is shared between tiles, so no RMW and
+        # no ordering constraint between writes)
+        wi = wcnt[0]
+        wslot = jax.lax.rem(wi, 2)
+
+        @pl.when(wi >= 2)
+        def _():
+            write_waiter(wslot).wait()
+
+        wbuf[wslot] = upd
+        write_start(wslot, j).start()
+        wcnt[0] = wi + 1
 
         # carries
         lane0 = jax.lax.broadcasted_iota(jnp.int32, (P, CHUNK), 1) == 0
@@ -373,12 +382,25 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     jax.lax.while_loop(cond, body, (j_hi, t_final, jnp.zeros((P, 1),
                                                             jnp.float32)))
 
+    # drain the write ring before the kernel (last grid step) retires
+    @pl.when(t == n_tiles - 1)
+    def _():
+        wi = wcnt[0]
+
+        @pl.when(wi >= 1)
+        def _():
+            write_waiter(jax.lax.rem(wi - 1, 2)).wait()
+
+        @pl.when(wi >= 2)
+        def _():
+            write_waiter(jax.lax.rem(wi - 2, 2)).wait()
+
 
 # --------------------------------------------------------------------------
 # host-side wrappers + custom VJP
 # --------------------------------------------------------------------------
 
-def _pack_pairs(xy, conic, opacity, depth, colors, tile_of_pair, gauss_idx):
+def _pack_pairs(xy, conic, opacity, depth, colors, gauss_idx):
     """Gather per-pair attribute-major data [rows, PC] from UNSORTED
     per-Gaussian arrays via the composed per-pair gaussian index
     (gauss_idx = order[pair_idx]; index N -> zeros)."""
@@ -394,9 +416,7 @@ def _pack_pairs(xy, conic, opacity, depth, colors, tile_of_pair, gauss_idx):
     per_g = per_g.at[R_OP, :n].set(opacity)
     per_g = per_g.at[R_DEPTH, :n].set(depth)
     per_g = per_g.at[N_FIXED:N_FIXED + c, :n].set(colors.T)
-    gp = jnp.take(per_g, gauss_idx, axis=1)                  # [rows, PC]
-    gp = gp.at[R_TILE, :].set(tile_of_pair.astype(jnp.float32))
-    return gp
+    return jnp.take(per_g, gauss_idx, axis=1)               # [rows, PC]
 
 
 def _origins(width, height, ts):
@@ -409,12 +429,12 @@ def _origins(width, height, ts):
 
 
 def _run_fwd_kernel(starts, counts, origins, gpair, T, P, C, rows, cfg,
-                    interpret, grid_x):
+                    interpret):
     """Invoke the forward kernel over T tiles (local shard under shard_map)."""
     kernel = functools.partial(_fwd_kernel, ts=cfg.tile_size, n_channels=C,
                                rows=rows, alpha_max=cfg.alpha_max,
                                alpha_min=cfg.alpha_min,
-                               t_eps=cfg.transmittance_eps, grid_x=grid_x)
+                               t_eps=cfg.transmittance_eps)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -452,13 +472,12 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
                                jnp.full((1,), n, jnp.int32)])
     gauss_idx = order_p[jnp.minimum(pr["pair_idx"], n)]
     gpair = _pack_pairs(xy, conic, jnp.where(visible, opacity, 0.0), depth,
-                        colors, pr["pair_tile"], gauss_idx)
+                        colors, gauss_idx)
 
-    grid_x = -(-width // ts)
     if mesh is None:
         out = _run_fwd_kernel(pr["starts"], pr["counts"],
                               jnp.asarray(origins), gpair, T, P, C, rows,
-                              cfg, interpret, grid_x)
+                              cfg, interpret)
     else:
         from jax.sharding import PartitionSpec as Pspec
         from jax.experimental.shard_map import shard_map
@@ -474,7 +493,7 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
 
         def per_dev(s, c, o, g):
             return _run_fwd_kernel(s, c, o.reshape(-1), g, Tl, P, C, rows,
-                                   cfg, interpret, grid_x)
+                                   cfg, interpret)
 
         out = shard_map(
             per_dev, mesh=mesh,
@@ -485,14 +504,14 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
 
 
 def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
-                    rows, cfg, interpret, grid_x):
+                    rows, cfg, interpret):
     """Invoke the backward kernel over T tiles -> grad_pairs [rows, PC]."""
     PC = gpair.shape[1]
     kernel = functools.partial(_bwd_kernel, ts=cfg.tile_size, n_channels=C,
                                rows=rows,
                                alpha_max=cfg.alpha_max,
                                alpha_min=cfg.alpha_min,
-                               t_eps=cfg.transmittance_eps, grid_x=grid_x)
+                               t_eps=cfg.transmittance_eps, n_tiles=T)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -510,6 +529,7 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     gzero = jnp.zeros((rows, PC), jnp.float32)
@@ -529,12 +549,10 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
     rows = _rows_for(C)
     T, origins = _origins(width, height, ts)
 
-    grid_x = -(-width // ts)
     if mesh is None:
         grad_pairs = _run_bwd_kernel(pr["starts"], pr["counts"],
                                      jnp.asarray(origins), gpair, fwd_out,
-                                     cot, T, P, C, rows, cfg, interpret,
-                                     grid_x)
+                                     cot, T, P, C, rows, cfg, interpret)
     else:
         from jax.sharding import PartitionSpec as Pspec
         from jax.experimental.shard_map import shard_map
@@ -552,7 +570,7 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
 
         def per_dev(s, c, o, g, f, ct):
             gp = _run_bwd_kernel(s, c, o.reshape(-1), g, f, ct, Tl, P, C,
-                                 rows, cfg, interpret, grid_x)
+                                 rows, cfg, interpret)
             # tiles are disjoint across devices; sum the pair-grad shards
             return jax.lax.psum(gp, axis)
 

@@ -30,6 +30,11 @@ class RasterConfig:
     cov2d_blur: float = struct.field(pytree_node=False, default=0.3)
     # Use the Pallas TPU kernel for the blend stage (else pure-JAX tiled).
     use_pallas: bool = struct.field(pytree_node=False, default=False)
+    # Pair-binning capacities (Pallas path): tiles kept per Gaussian and the
+    # global pair budget as a multiple of N. Truncation is surfaced via
+    # RenderOutput.n_dropped so it can never silently under-render.
+    max_tiles: int = struct.field(pytree_node=False, default=20)
+    pair_cap_factor: int = struct.field(pytree_node=False, default=4)
 
 
 @struct.dataclass
@@ -42,6 +47,7 @@ class RenderOutput:
     alpha: jax.Array        # [H, W]      1 - final transmittance
     radii: jax.Array        # [N]         screen-space radius (pixels, int32)
     means2d: jax.Array      # [N, 2]      pixel-space projected centers
+    n_dropped: jax.Array    # []          pairs lost to binning caps (int32)
 
 
 @struct.dataclass

@@ -104,6 +104,10 @@ class MappingConfig:
     max_per_tile: int = 1024
     tile_chunk: int = 32
     use_pallas: bool | None = None
+    # pair-binning caps; the trainer auto-escalates these when a step
+    # reports dropped pairs (RenderOutput.n_dropped)
+    max_tiles: int = 20
+    pair_cap_factor: int = 4
     # insertion budgets
     kp_budget: int = 16384
     nonkp_budget: int = 8192
@@ -119,7 +123,9 @@ class MappingConfig:
         return RasterConfig(tile_size=self.tile_size,
                             max_per_tile=self.max_per_tile,
                             tile_chunk=self.tile_chunk,
-                            use_pallas=use_pallas)
+                            use_pallas=use_pallas,
+                            max_tiles=self.max_tiles,
+                            pair_cap_factor=self.pair_cap_factor)
 
     def opt_lr_dict(self) -> dict:
         return {
@@ -211,19 +217,19 @@ def make_mapping_step(cfg: MappingConfig):
                                         frame["exposure"][1],
                                         cfg.rgb_boundary_threshold)
                 l = l + losses.marker_loss(out.image[..., 3], gt_score)
-                return l, out.radii
+                return l, (out.radii, out.n_dropped)
 
-            ls, radii = jax.vmap(one)(frames, offsets)
+            ls, (radii, ndrop) = jax.vmap(one)(frames, offsets)
             loss = jnp.sum(ls)
             iso = losses.isotropic_loss(jnp.exp(params["scaling"]),
                                         params["marker"][:, 0], scene.alive,
                                         cfg.marker_thresh)
             if cfg.primitive_reg:
                 loss = loss + cfg.isotropic_weight * iso
-            return loss, radii
+            return loss, (radii, jnp.sum(ndrop))
 
         offsets = jnp.zeros((V, M, 2), jnp.float32)
-        (loss, radii), (grads, off_grads) = jax.value_and_grad(
+        (loss, (radii, n_dropped)), (grads, off_grads) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(scene.params(), offsets)
 
         # densification stats per view (train_gaussians.py:239-245)
@@ -243,7 +249,7 @@ def make_mapping_step(cfg: MappingConfig):
             {**cfg.opt_lr_dict()}, cfg.spatial_lr_scale, step)
         params, opt_state = optim.update(scene.params(), grads, opt_state, lrs)
         scene = scene.with_params(params)
-        return scene, opt_state, stats, loss, vis_union
+        return scene, opt_state, stats, loss, vis_union, n_dropped
 
     return step_fn
 
@@ -288,6 +294,8 @@ class MappingTrainer:
         self.host_rng = np.random.default_rng(seed)
         self._mapping_step = make_mapping_step(cfg)
         self._refine_step = make_refinement_step(cfg)
+        self._last_n_dropped = None
+        self.n_dropped_total = 0
         self.camera = Camera.create(np.eye(4, dtype=np.float32), cfg.fx,
                                     cfg.fy, cfg.cx, cfg.cy, cfg.width,
                                     cfg.height)
@@ -321,6 +329,32 @@ class MappingTrainer:
             point_size=self.cfg.point_size,
             adaptive_pointsize=self.cfg.adaptive_pointsize)
         return idx
+
+    def _check_pair_truncation(self):
+        """Surface + bound pair truncation (build_pairs caps). Checked at the
+        densify cadence (checking per-iter would force a device sync). On any
+        dropped pairs: warn, double the caps, rebuild the jitted steps —
+        silent under-rendering is impossible by construction."""
+        if self._last_n_dropped is None:
+            return
+        dropped = int(self._last_n_dropped)
+        self._last_n_dropped = None
+        if dropped == 0:
+            return
+        self.n_dropped_total += dropped
+        import dataclasses
+        import warnings
+        old = self.cfg
+        self.cfg = dataclasses.replace(
+            old, max_tiles=old.max_tiles * 2,
+            pair_cap_factor=old.pair_cap_factor * 2)
+        warnings.warn(
+            f"rasterizer dropped {dropped} (gaussian, tile) pairs at iter "
+            f"{self.iteration}; escalating max_tiles {old.max_tiles}->"
+            f"{self.cfg.max_tiles}, pair_cap_factor {old.pair_cap_factor}->"
+            f"{self.cfg.pair_cap_factor} (recompiles the step)")
+        self._mapping_step = make_mapping_step(self.cfg)
+        self._refine_step = make_refinement_step(self.cfg)
 
     def _maybe_grow(self):
         cap = self.scene.capacity
@@ -359,13 +393,16 @@ class MappingTrainer:
             if len(idx) < V:   # repeat frames if fewer than window
                 idx = np.resize(idx, V)
             frames = self.frames.gather(jnp.asarray(idx))
-            self.scene, self.opt_state, self.stats, loss, vis_union = (
+            (self.scene, self.opt_state, self.stats, loss, vis_union,
+             n_dropped) = (
                 self._mapping_step(self.scene, self.opt_state, self.stats,
                                    frames, jnp.asarray(self.iteration)))
+            self._last_n_dropped = n_dropped
 
             update = (self.iteration % cfg.gaussian_update_every
                       == cfg.gaussian_update_offset)
             if update:
+                self._check_pair_truncation()
                 self._maybe_grow()
                 self.scene, self.stats, self.opt_state, info = (
                     densify.densify_and_prune(

@@ -86,13 +86,13 @@ def test_sharded_mapping_step_runs(rng):
     frames = fs.gather(jnp.arange(2))
 
     ref_step = make_mapping_step(cfg)
-    s1, _, _, loss1, _ = ref_step(scene, opt_state, stats, frames,
-                                  jnp.asarray(1))
+    s1, _, _, loss1, _, _ = ref_step(scene, opt_state, stats, frames,
+                                     jnp.asarray(1))
 
     sh_scene = shard_scene(mesh, scene)
     sh_step = make_sharded_mapping_step(cfg, mesh)
-    s2, _, _, loss2, _ = sh_step(sh_scene, opt_state, stats, frames,
-                                 jnp.asarray(1))
+    s2, _, _, loss2, _, _ = sh_step(sh_scene, opt_state, stats, frames,
+                                    jnp.asarray(1))
     np.testing.assert_allclose(float(loss2), float(loss1), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(s2.xyz), np.asarray(s1.xyz),
                                atol=1e-5)

@@ -37,7 +37,7 @@ def test_build_pairs_counts(rng):
     cam = make_camera()
     proj = project.project_gaussians(means, scales, quats, cam, CFG_X)
     order = binning.depth_sort(proj)
-    lists, counts_x = binning.tile_lists(proj, order, W, H, CFG_X)
+    lists, counts_x, _ = binning.tile_lists(proj, order, W, H, CFG_X)
     pr = pairs.build_pairs(proj.xy[order], proj.radius[order],
                            proj.visible[order], W, H, CFG_X)
     np.testing.assert_array_equal(np.asarray(pr["counts"]),
