@@ -149,6 +149,13 @@ def gen_fusion(config: dict, sp_weights: str | None,
     np.save(os.path.join(ds.generated_folder, "sp_inloc_feat.npy"), feats)
     print(f"wrote fused cloud: {points.shape[0]} pts")
 
+    # mesh.ply artifact (reference gen_3d_fusion_feature.py:73,91-92)
+    from splatloc_tpu.fields import mesh as mesh_mod
+    verts, faces, norms, vcols = mesh_mod.get_mesh(vol)
+    mesh_path = os.path.join(ds.generated_folder, "mesh.ply")
+    mesh_mod.save_mesh_ply(mesh_path, verts, faces, norms, vcols)
+    print(f"wrote {mesh_path}: {verts.shape[0]} verts {faces.shape[0]} faces")
+
 
 def main(argv=None):
     parser = argparse.ArgumentParser()

@@ -107,7 +107,9 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
                 *, ts, n_channels, rows, alpha_max, alpha_min, t_eps):
     t = pl.program_id(0)
     P = ts * ts
-    lo = starts_ref[t]                     # 128-aligned by construction
+    # starts are 128-aligned by construction; the floor-multiply is an
+    # identity that lets Mosaic PROVE the DMA offsets are tile-divisible
+    lo = (starts_ref[t] // CHUNK) * CHUNK
     count = counts_ref[t]
     ox = origin_ref[2 * t]
     oy = origin_ref[2 * t + 1]
@@ -217,7 +219,8 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     t = pl.program_id(0)
     P = ts * ts
     OUTP = n_channels + 2
-    lo = starts_ref[t]                     # 128-aligned by construction
+    # aligned by construction; floor-multiply is Mosaic's divisibility proof
+    lo = (starts_ref[t] // CHUNK) * CHUNK
     count = counts_ref[t]
     ox = origin_ref[2 * t]
     oy = origin_ref[2 * t + 1]
