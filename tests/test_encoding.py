@@ -56,7 +56,7 @@ def test_oneblob_integrates_to_one():
     # peak at the bin containing the coordinate (0.5 sits on the 7|8 bin
     # boundary -> symmetric, either is correct)
     assert out[0].argmax() in (7, 8)
-    assert out[1].argmax() == 4
+    assert out[1].argmax() in (3, 4)   # 0.25 is also a bin boundary
 
 
 def test_frequency_values():
