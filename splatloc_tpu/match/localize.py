@@ -10,6 +10,7 @@ gradients).
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import jax
@@ -175,11 +176,12 @@ class Localizer:
     # -- render-loss 6-DoF refinement (north-star capability) -----------
 
     def render_refine(self, match_ret: dict, query_frame: dict,
-                      iters: int = 40, lr: float = 1e-3):
-        """Polish the PnP pose by gradient descent of photometric render
-        loss through the rasterizer's pose gradients."""
-        from splatloc_tpu.raster import render
-        from splatloc_tpu.raster.types import RasterConfig
+                      iters: int = 64, lr: float = 2e-3,
+                      rtol: float = 1e-4):
+        """Polish the PnP pose by Adam descent of photometric render loss
+        through the rasterizer's pose gradients. The whole optimization is
+        ONE jitted lax.while_loop (no per-iter host round-trips) that stops
+        early once the relative loss improvement falls below ``rtol``."""
         ds = self.train_dataset
         c2w = np.eye(4, dtype=np.float32)
         c2w[:3, :3] = match_ret["r"]
@@ -188,20 +190,69 @@ class Localizer:
         cam0 = Camera.create(np.eye(4, dtype=np.float32), ds.fx, ds.fy,
                              ds.cx, ds.cy, ds.width, ds.height)
         gt = jnp.asarray(query_frame["rgb"], jnp.float32)
-        cfg = RasterConfig(use_pallas=jax.default_backend() != "cpu")
-        scene = self.scene
-
-        @jax.jit
-        def loss_fn(xi):
-            w2c = transforms.se3_exp(xi) @ w2c0
-            out = render(scene, cam0.replace_pose(w2c), cfg)
-            return jnp.mean(jnp.abs(out["render"] - gt))
-
-        grad_fn = jax.jit(jax.grad(loss_fn))
-        xi = jnp.zeros(6)
-        for _ in range(iters):
-            xi = xi - lr * grad_fn(xi)
+        xi, info = refine_pose(self.scene, cam0, w2c0, gt, iters=iters,
+                               lr=lr, rtol=rtol)
         w2c = np.asarray(transforms.se3_exp(xi) @ w2c0)
         c2w = np.linalg.inv(w2c)
         return {**match_ret, "r": c2w[:3, :3], "t": c2w[:3, 3],
-                "refined": True}
+                "refined": True, "refine_iters": int(info["iters"]),
+                "refine_loss": (float(info["loss0"]),
+                                float(info["loss"]))}
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "lr", "rtol",
+                                             "patience", "use_pallas"))
+def _refine_pose_jit(scene, camera, w2c0, gt, iters, lr, rtol, patience,
+                     use_pallas):
+    from splatloc_tpu.raster import render
+    from splatloc_tpu.raster.types import RasterConfig
+    cfg = RasterConfig(use_pallas=use_pallas)
+
+    def loss_fn(xi):
+        w2c = transforms.se3_exp(xi) @ w2c0
+        out = render(scene, camera.replace_pose(w2c), cfg)
+        return jnp.mean(jnp.abs(out["render"] - gt))
+
+    vg = jax.value_and_grad(loss_fn)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def cond(state):
+        i, _, _, _, _, _, _, stall = state
+        return (i < iters) & (stall < patience)
+
+    def body(state):
+        i, xi, m, v, loss0, best, bxi, stall = state
+        loss, g = vg(xi)                      # loss at the CURRENT xi
+        loss0 = jnp.where(i == 0, loss, loss0)
+        better = loss < best - rtol * jnp.abs(best)
+        stall = jnp.where(better, 0.0, stall + 1.0)
+        bxi = jnp.where(better, xi, bxi)
+        best = jnp.where(better, loss, best)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mh = m / (1 - b1 ** (i + 1.0))
+        vh = v / (1 - b2 ** (i + 1.0))
+        xi = xi - lr * mh / (jnp.sqrt(vh) + eps)
+        return i + 1, xi, m, v, loss0, best, bxi, stall
+
+    z = jnp.zeros(6)
+    # best starts LARGE-FINITE, not inf: inf - rtol*inf is nan and would
+    # make the improvement test unconditionally false
+    i, _, _, _, loss0, best, bxi, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0.0), z, z, z, jnp.inf, jnp.asarray(1e30), z,
+         jnp.asarray(0.0)))
+    return bxi, {"iters": i, "loss0": loss0, "loss": best}
+
+
+def refine_pose(scene, camera, w2c0, gt, iters: int = 64, lr: float = 2e-3,
+                rtol: float = 1e-4, patience: int = 8):
+    """Render-loss 6-DoF pose refinement: returns (xi [6] se3 update in the
+    w2c frame, info dict with iters/loss0/loss). One compiled program — a
+    lax.while_loop with Adam and best-so-far tracking that stops after
+    ``patience`` consecutive iterations without a ``rtol`` relative
+    improvement (single flat Adam steps don't kill the optimization)."""
+    use_pallas = jax.default_backend() != "cpu"
+    return _refine_pose_jit(scene, camera, jnp.asarray(w2c0),
+                            jnp.asarray(gt, jnp.float32), iters, lr, rtol,
+                            patience, use_pallas)
