@@ -3,18 +3,24 @@ TPU-style.
 
 The reference CUDA rasterizer duplicates each Gaussian per touched tile and
 radix-sorts (tile | depth) keys. We pack ``tile_id << IDX_BITS | depth_rank``
-into one int32, sort the padded [N * MAX_TILES] key array directly (invalid
-slots = INT32_MAX sort to the end), read per-tile segment bounds with a
-hand-rolled vector bisection (jnp.searchsorted's default 'scan' costs ~3 ms
-on this TPU regardless of query count), then relayout each tile's segment to
-a 128-ALIGNED start. Depth order within a tile is automatic because
+into one int32 and sort — but where the CUDA path then walks raw segments,
+the TPU kernels want every tile segment to START 128-ALIGNED so a
+[CHUNK]-slab of pair data is owned by exactly one tile (no masks in the
+kernels; backward gradient slabs are pure stores, no RMW).
+
+Alignment is achieved IN the sort, not by a post-sort relayout gather (XLA
+1-D gathers run at ~150M elem/s on TPU — a 550k-element relayout cost more
+than the 2M-key sort): per-tile pair counts are computed BEFORE the sort
+with a corner-difference histogram over the tile grid (each Gaussian's
+emitted tile set is a union of <=2 rectangles, so its histogram contribution
+is <=8 signed corners; corner counting = one small sort + bisect), then
+(-count % 128) FILLER keys per tile are appended to the key population. One
+sort of [N*MAX_TILES + T*128] keys yields tile segments that are
+128-aligned by construction. Depth order within a tile is automatic because
 depth_rank is the position in the depth-sorted arrays.
 
-The aligned layout means a [CHUNK]-slab of pair data is owned by exactly one
-tile: the Pallas kernels need no tile-id masking, and the backward kernel's
-per-chunk gradient writes are pure stores (no read-modify-write of shared
-boundary slabs). Alignment padding entries carry index N -> all-zero
-attributes -> zero opacity, so they are inert in the blend with no masking.
+Filler/invalid entries carry index N -> all-zero attributes -> zero opacity,
+so they are inert in the blend with no masking.
 """
 from __future__ import annotations
 
@@ -26,9 +32,10 @@ import numpy as np
 
 from splatloc_tpu.raster.types import RasterConfig
 
-IDX_BITS = 20                       # supports N < 2^20 per shard
-IDX_MASK = (1 << IDX_BITS) - 1
+IDX_BITS = 20
+IDX_MASK = (1 << IDX_BITS) - 1      # filler rank sentinel; needs N < IDX_MASK
 ALIGN = 128
+_I32_MAX = np.iinfo(np.int32).max
 
 
 def _tile_rects(xy, radius, width, height, ts):
@@ -57,29 +64,10 @@ def resolve_caps(cfg: RasterConfig, n: int,
     return max_tiles, pair_cap
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
-def pair_stats(xy, radius, visible, width: int, height: int,
-               cfg: RasterConfig):
-    """Exact (n_pairs_kept, n_dropped) of build_pairs, from elementwise math
-    only (no sort). Valid pairs per Gaussian = min(area, max_tiles); the
-    sorted valid pairs are contiguous, so the pair_cap clamp drops exactly
-    relu(total_valid - pair_cap)."""
-    ts = cfg.tile_size
-    N = xy.shape[0]
-    max_tiles, pair_cap = resolve_caps(cfg, N)
-    rminx, rmaxx, rminy, rmaxy = _tile_rects(xy, radius, width, height, ts)
-    area = (rmaxx - rminx) * (rmaxy - rminy)
-    vis = visible.astype(jnp.int32)
-    n_trunc = jnp.sum(jnp.maximum(area - max_tiles, 0) * vis)
-    total_valid = jnp.sum(jnp.minimum(area, max_tiles) * vis)
-    over_cap = jnp.maximum(total_valid - pair_cap, 0)
-    return total_valid - over_cap, n_trunc + over_cap
-
-
 def _bisect(sorted_arr, queries, rounds: int):
     """Vector lower-bound bisection: first index i with sorted_arr[i] >=
-    query. ~20 gather rounds beat jnp.searchsorted's 'scan' lowering
-    (~3 ms/call on TPU) by ~25x."""
+    query. ~20 gather rounds of tiny query vectors beat jnp.searchsorted's
+    'scan' lowering (~3 ms/call on TPU) by ~25x."""
     n = sorted_arr.shape[0]
     lo = jnp.zeros(queries.shape, jnp.int32)
     hi = jnp.full(queries.shape, n, jnp.int32)
@@ -100,6 +88,82 @@ def aligned_cap(cfg: RasterConfig, n: int, width: int, height: int) -> int:
     return pair_cap + T * ALIGN
 
 
+def _emission(xy, radius, visible, width, height, ts, max_tiles):
+    """Shared emitted-tile-set geometry: each visible Gaussian emits the
+    first m = min(area, max_tiles) cells of its rect in row-major order."""
+    rminx, rmaxx, rminy, rmaxy = _tile_rects(xy, radius, width, height, ts)
+    aw = rmaxx - rminx
+    ah = rmaxy - rminy
+    area = aw * ah
+    m = jnp.where(visible, jnp.minimum(area, max_tiles), 0)
+    awc = jnp.maximum(aw, 1)
+    q = m // awc                     # full rows emitted
+    r = m - q * awc                  # cells in the partial row
+    n_trunc = jnp.sum(jnp.maximum(area - max_tiles, 0)
+                      * visible.astype(jnp.int32))
+    return rminx, rminy, aw, awc, m, q, r, n_trunc
+
+
+def _tile_counts(rminx, rminy, aw, q, r, gx, gy):
+    """Exact per-tile emitted-pair counts [gy*gx] WITHOUT the main sort.
+
+    The emitted set of one Gaussian = full-rows rect + partial-row rect;
+    scatter +-1 at rect corners on the (gy+1, gx+1) difference grid, then a
+    2-D prefix sum. The corner "scatter" is a small sort + bisect (TPU
+    scatters are ~100x slower than sorts at this size)."""
+    gxp = gx + 1
+    G = gxp * (gy + 1)
+    sent = 2 * G
+
+    def cid(y, x):
+        return y * gxp + x
+
+    a1 = q > 0
+    a2 = r > 0
+    y1 = rminy + q
+    # keep every corner array 1-D [N]: column-shaped [N, 1] intermediates
+    # get a 1-lane TPU layout and cost ~1 ms each in fusions
+    ids = jnp.concatenate([
+        jnp.where(a1, cid(rminy, rminx), sent),
+        jnp.where(a1, cid(y1, rminx + aw), sent),
+        jnp.where(a2, cid(y1, rminx), sent),
+        jnp.where(a2, cid(y1 + 1, rminx + r), sent),
+        jnp.where(a1, cid(rminy, rminx + aw), sent) + G,
+        jnp.where(a1, cid(y1, rminx), sent) + G,
+        jnp.where(a2, cid(y1, rminx + r), sent) + G,
+        jnp.where(a2, cid(y1 + 1, rminx), sent) + G,
+    ])
+    s = jnp.sort(ids, stable=False)
+    rounds = int(np.ceil(np.log2(max(ids.shape[0], 2)))) + 1
+    bounds = _bisect(s, jnp.arange(2 * G + 1, dtype=jnp.int32), rounds)
+    per_id = bounds[1:] - bounds[:-1]                        # [2G]
+    diff = (per_id[:G] - per_id[G:]).reshape(gy + 1, gxp)
+    counts2d = jnp.cumsum(jnp.cumsum(diff, axis=0), axis=1)
+    return counts2d[:gy, :gx].reshape(-1)                    # [T]
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def pair_stats(xy, radius, visible, width: int, height: int,
+               cfg: RasterConfig):
+    """Exact (n_pairs_kept, n_dropped) of build_pairs without the main sort
+    (same corner-histogram counts + the same cap-clamp arithmetic)."""
+    ts = cfg.tile_size
+    gx = -(-width // ts)
+    gy = -(-height // ts)
+    N = xy.shape[0]
+    max_tiles, pair_cap = resolve_caps(cfg, N)
+    cap_al = pair_cap + gx * gy * ALIGN
+    rminx, rminy, aw, awc, m, q, r, n_trunc = _emission(
+        xy, radius, visible, width, height, ts, max_tiles)
+    counts = _tile_counts(rminx, rminy, aw, q, r, gx, gy)
+    asize = ((counts + ALIGN - 1) // ALIGN) * ALIGN
+    astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(asize).astype(jnp.int32)])[:-1]
+    kept = jnp.sum(jnp.clip(cap_al - astarts, 0, counts))
+    total_valid = jnp.sum(m)
+    return kept, n_trunc + (total_valid - kept)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
                                              "max_tiles", "pair_cap"))
 def build_pairs(xy, radius, visible, width: int, height: int,
@@ -108,9 +172,9 @@ def build_pairs(xy, radius, visible, width: int, height: int,
     """Inputs are depth-sorted per-Gaussian screen quantities.
 
     Returns dict with:
-      pair_idx [CAP_AL] int32 index into the depth-sorted Gaussian axis,
-                        in per-tile segments each starting 128-aligned
-                        (N = padding sentinel; gathers must clamp)
+      pair_idx [CAP_AL] int32 DEPTH RANK (index into the depth-sorted
+                        Gaussian axis), in per-tile segments each starting
+                        128-aligned (N = padding sentinel)
       starts   [T]      int32 aligned segment start (start % 128 == 0)
       counts   [T]      int32 valid pair count per tile (clamped at the cap)
       n_dropped         int32 pairs lost to max_tiles truncation or pair_cap
@@ -120,59 +184,47 @@ def build_pairs(xy, radius, visible, width: int, height: int,
     gy = -(-height // ts)
     T = gx * gy
     N = xy.shape[0]
-    assert N < (1 << IDX_BITS), N
+    assert N < IDX_MASK, N
     assert T < (1 << (31 - IDX_BITS)), T
     max_tiles, pair_cap = resolve_caps(cfg, N, max_tiles, pair_cap)
     cap_al = pair_cap + T * ALIGN
 
-    rminx, rmaxx, rminy, rmaxy = _tile_rects(xy, radius, width, height, ts)
-    aw = rmaxx - rminx
-    ah = rmaxy - rminy
-    area = aw * ah
+    rminx, rminy, aw, awc, m, q, r, n_trunc = _emission(
+        xy, radius, visible, width, height, ts, max_tiles)
+    counts = _tile_counts(rminx, rminy, aw, q, r, gx, gy)
+
+    # per-tile filler population so every segment is a 128-multiple
+    fill = (-counts) % ALIGN
+    asize = counts + fill
+    astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                               jnp.cumsum(asize).astype(jnp.int32)])[:-1]
 
     slot = jnp.arange(max_tiles, dtype=jnp.int32)
-    aw_s = jnp.maximum(aw, 1)[:, None]
-    dx = slot[None, :] % aw_s
-    dy = slot[None, :] // aw_s
+    dx = slot[None, :] % awc[:, None]
+    dy = slot[None, :] // awc[:, None]
     tile = (rminy[:, None] + dy) * gx + rminx[:, None] + dx      # [N, MT]
-    ok = (slot[None, :] < area[:, None]) & (dy < ah[:, None]) & visible[:, None]
-
     ridx = jnp.arange(N, dtype=jnp.int32)
-    key = jnp.where(ok, (tile << IDX_BITS) | ridx[:, None],
-                    jnp.int32(np.iinfo(np.int32).max))
-    n_trunc = jnp.sum(jnp.maximum(area - max_tiles, 0)
-                      * visible.astype(jnp.int32))
+    key = jnp.where(slot[None, :] < m[:, None],
+                    (tile << IDX_BITS) | ridx[:, None], jnp.int32(_I32_MAX))
 
-    sorted_all = jnp.sort(key.reshape(-1))
-    n_keys = N * max_tiles
-    rounds = int(np.ceil(np.log2(max(n_keys, 2)))) + 1
-    tile_ids = jnp.arange(T + 1, dtype=jnp.int32)
-    bounds = _bisect(sorted_all, tile_ids << IDX_BITS, rounds)
-    total_valid = bounds[T]
-    starts_v = jnp.minimum(bounds[:T], pair_cap)
-    ends_v = jnp.minimum(bounds[1:], pair_cap)
-    counts = ends_v - starts_v
-    n_dropped = n_trunc + (total_valid - jnp.sum(counts))
-
-    # Relayout: tile t's segment moves to a 128-aligned start. Work per
-    # aligned chunk (cap_al/128 of them): owning tile, source offset, count.
-    asize = ((counts + ALIGN - 1) // ALIGN) * ALIGN
-    astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
-                               jnp.cumsum(asize).astype(jnp.int32)])  # [T+1]
-    nc = cap_al // ALIGN
-    cpos = jnp.arange(nc, dtype=jnp.int32) * ALIGN
-    # owning tile: first t with astarts[t+1] > cpos (zero-size tiles skipped)
-    u = jnp.minimum(_bisect(astarts[1:], cpos + 1,
-                            int(np.ceil(np.log2(max(T, 2)))) + 1),
-                    T - 1)
-    off = cpos - astarts[u]
-    base = starts_v[u] + off
-    rem = counts[u] - off
     lane = jnp.arange(ALIGN, dtype=jnp.int32)
-    src = base[:, None] + lane[None, :]
-    valid = lane[None, :] < rem[:, None]
-    key_g = sorted_all[jnp.clip(src, 0, n_keys - 1)]
-    pair_idx = jnp.where(valid, key_g & IDX_MASK, N).reshape(-1)
+    tid = jnp.arange(T, dtype=jnp.int32)
+    fkey = jnp.where(lane[None, :] < fill[:, None],
+                     (tid[:, None] << IDX_BITS) | IDX_MASK,
+                     jnp.int32(_I32_MAX))
+
+    sorted_all = jnp.sort(jnp.concatenate([key.reshape(-1),
+                                           fkey.reshape(-1)]),
+                          stable=False)[:cap_al]
+    rank = sorted_all & IDX_MASK
+    pair_idx = jnp.where(rank == IDX_MASK, N, rank)
+
+    counts_c = jnp.clip(cap_al - astarts, 0, counts)
+    total_valid = jnp.sum(m)
+    n_dropped = n_trunc + (total_valid - jnp.sum(counts_c))
     return {"pair_idx": pair_idx.astype(jnp.int32),
-            "starts": astarts[:T], "counts": counts,
-            "n_dropped": n_dropped}
+            "starts": jnp.minimum(astarts, cap_al), "counts": counts_c,
+            # emitted pairs per depth rank [N] (= number of touched tiles);
+            # exact run lengths of each rank in rank-sorted pair order
+            # whenever n_dropped == 0
+            "per_rank_counts": m, "n_dropped": n_dropped}

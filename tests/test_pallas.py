@@ -60,11 +60,11 @@ def test_pallas_forward_parity(rng):
     out_x = rasterize(*sc, cam, CFG_X, bg=bg)
     out_p = rasterize(*sc, cam, CFG_P, bg=bg)
     np.testing.assert_allclose(np.asarray(out_p.image),
-                               np.asarray(out_x.image), atol=1e-5)
+                               np.asarray(out_x.image), atol=5e-5)
     np.testing.assert_allclose(np.asarray(out_p.depth),
                                np.asarray(out_x.depth), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_p.alpha),
-                               np.asarray(out_x.alpha), atol=1e-5)
+                               np.asarray(out_x.alpha), atol=5e-5)
 
 
 def test_pallas_gradient_parity(rng):
@@ -121,7 +121,7 @@ def test_multichannel_feature_rendering(rng):
     out_x = rasterize(*args, cam, CFG_X)
     out_p = rasterize(*args, cam, CFG_P)
     np.testing.assert_allclose(np.asarray(out_p.image),
-                               np.asarray(out_x.image), atol=2e-5)
+                               np.asarray(out_x.image), atol=5e-5)
     # gradient parity on the feature channels
     def loss(cfg):
         def f(feats):
@@ -130,5 +130,5 @@ def test_multichannel_feature_rendering(rng):
         return f
     g_x = jax.grad(loss(CFG_X))(args[4])
     g_p = jax.grad(loss(CFG_P))(args[4])
-    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=1e-5,
-                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=3e-5,
+                               rtol=5e-4)
