@@ -172,6 +172,26 @@ def se3_exp(xi: jax.Array) -> jax.Array:
     return jnp.concatenate([top, bottom], axis=-2)
 
 
+def se3_log(T: jax.Array) -> jax.Array:
+    """4x4 rigid transform -> twist [...,6] (rho, omega); inverse of
+    se3_exp: ``se3_exp(se3_log(T)) == T``. rho = V^-1 t with V the SO(3)
+    left Jacobian."""
+    R = T[..., :3, :3]
+    t = T[..., :3, 3]
+    w = so3_log(R)
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)[..., None]
+    small = theta2 < 1e-14
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta2))
+    K = skew(w) / theta
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=T.dtype), K.shape)
+    half = 0.5 * theta
+    cot = half * jnp.cos(half) / jnp.maximum(jnp.sin(half), _EPS)
+    Vinv = eye - 0.5 * theta * K + (1 - cot) * (K @ K)
+    Vinv = jnp.where(small, eye - 0.5 * skew(w), Vinv)
+    rho = (Vinv @ t[..., None])[..., 0]
+    return jnp.concatenate([rho, w], axis=-1)
+
+
 def transform_points(T: jax.Array, pts: jax.Array) -> jax.Array:
     """Apply a 4x4 rigid transform to points [..., N, 3] (batch projection
     helper, reference utils/cam.py:65-143)."""

@@ -46,9 +46,9 @@ def rasterize_sharded(means3d, scales, quats, opacities, colors,
     image, depth, alpha = pallas_raster.assemble_image(
         acc, camera.width, camera.height, cfg, bg)
     from splatloc_tpu.raster import pairs as pairs_mod
-    _, n_dropped = pairs_mod.pair_stats(
+    _, n_dropped, n_trunc = pairs_mod.pair_stats(
         jax.lax.stop_gradient(proj.xy), jax.lax.stop_gradient(proj.radius),
         proj.visible, camera.width, camera.height, cfg)
     return RenderOutput(image=image, depth=depth, alpha=alpha,
                         radii=proj.radius.astype(jnp.int32), means2d=proj.xy,
-                        n_dropped=n_dropped)
+                        n_dropped=n_dropped, n_trunc=n_trunc)

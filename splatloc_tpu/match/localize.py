@@ -200,6 +200,15 @@ class Localizer:
                                 float(info["loss"]))}
 
 
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _pose_loss_jit(scene, camera, w2c, gt, use_pallas):
+    from splatloc_tpu.raster import render
+    from splatloc_tpu.raster.types import RasterConfig
+    cfg = RasterConfig(use_pallas=use_pallas)
+    out = render(scene, camera.replace_pose(w2c), cfg)
+    return jnp.mean(jnp.abs(out["render"] - gt))
+
+
 @functools.partial(jax.jit, static_argnames=("iters", "lr", "rtol",
                                              "patience", "use_pallas"))
 def _refine_pose_jit(scene, camera, w2c0, gt, iters, lr, rtol, patience,
@@ -246,13 +255,50 @@ def _refine_pose_jit(scene, camera, w2c0, gt, iters, lr, rtol, patience,
 
 
 def refine_pose(scene, camera, w2c0, gt, iters: int = 64, lr: float = 2e-3,
-                rtol: float = 1e-4, patience: int = 8):
+                rtol: float = 1e-4, patience: int = 8,
+                levels: tuple[int, ...] = (4, 2, 1)):
     """Render-loss 6-DoF pose refinement: returns (xi [6] se3 update in the
-    w2c frame, info dict with iters/loss0/loss). One compiled program — a
-    lax.while_loop with Adam and best-so-far tracking that stops after
-    ``patience`` consecutive iterations without a ``rtol`` relative
-    improvement (single flat Adam steps don't kill the optimization)."""
+    w2c frame, info dict with iters/loss0/loss).
+
+    Coarse-to-fine: each entry of ``levels`` is a downscale factor — the
+    scene is re-rendered at camera/s resolution against an s x s
+    average-pooled target, widening the photometric convergence basin
+    (a 5deg start diverges at full resolution but converges through the
+    pyramid), and the coarse iterations are ~s^2 cheaper. Per level, the
+    whole optimization is one compiled lax.while_loop with Adam and
+    best-so-far tracking that stops after ``patience`` consecutive
+    iterations without a ``rtol`` relative improvement."""
     use_pallas = jax.default_backend() != "cpu"
-    return _refine_pose_jit(scene, camera, jnp.asarray(w2c0),
-                            jnp.asarray(gt, jnp.float32), iters, lr, rtol,
-                            patience, use_pallas)
+    gt = jnp.asarray(gt, jnp.float32)
+    w2c0 = jnp.asarray(w2c0, jnp.float32)
+    w2c = w2c0
+    H, W = camera.height, camera.width
+    total_iters, loss0 = 0.0, None
+    info = {}
+    for s in [s for s in levels if s == 1 or
+              (W % s == 0 and H % s == 0 and min(W, H) // s >= 16)]:
+        if s == 1:
+            cam_s, gt_s = camera, gt
+        else:
+            cam_s = Camera.create(camera.w2c, camera.fx / s, camera.fy / s,
+                                  camera.cx / s, camera.cy / s, W // s,
+                                  H // s, camera.znear, camera.zfar)
+            gt_s = gt.reshape(H // s, s, W // s, s, gt.shape[-1]).mean((1, 3))
+        xi, info = _refine_pose_jit(scene, cam_s, w2c, gt_s, iters, lr,
+                                    rtol, patience, use_pallas)
+        w2c = transforms.se3_exp(xi) @ w2c
+        total_iters += float(info["iters"])
+        if loss0 is None:
+            loss0 = info["loss0"]
+    # full-resolution acceptance guard: coarse levels optimize a slightly
+    # different objective (downscale render vs pooled target) and can drift
+    # when the start pose is already near-perfect — refinement must never
+    # return a pose that scores worse than the start at full resolution
+    l_ref = _pose_loss_jit(scene, camera, w2c, gt, use_pallas)
+    l_start = _pose_loss_jit(scene, camera, w2c0, gt, use_pallas)
+    if float(l_start) <= float(l_ref):
+        return jnp.zeros(6), {"iters": total_iters, "loss0": l_start,
+                              "loss": l_start}
+    xi_total = transforms.se3_log(w2c @ transforms.invert_se3(w2c0))
+    return xi_total, {"iters": total_iters, "loss0": loss0,
+                      "loss": l_ref}

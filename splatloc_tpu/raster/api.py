@@ -60,13 +60,14 @@ def rasterize(
             camera.width, camera.height, cfg, interpret)
         image, depth, alpha = pallas_raster.assemble_image(
             acc, camera.width, camera.height, cfg, bg)
-        _, n_dropped = pairs_mod.pair_stats(
+        _, n_dropped, n_trunc = pairs_mod.pair_stats(
             jax.lax.stop_gradient(proj.xy),
             jax.lax.stop_gradient(proj.radius), proj.visible,
             camera.width, camera.height, cfg)
     else:
         lists, _counts, n_dropped = binning.tile_lists(
             proj, order, camera.width, camera.height, cfg)
+        n_trunc = jnp.zeros((), jnp.int32)
         image, depth, alpha = blend.blend_image(
             lists,
             proj.xy[order],
@@ -78,7 +79,7 @@ def rasterize(
 
     return RenderOutput(image=image, depth=depth, alpha=alpha,
                         radii=proj.radius.astype(jnp.int32), means2d=proj.xy,
-                        n_dropped=n_dropped)
+                        n_dropped=n_dropped, n_trunc=n_trunc)
 
 
 def render(scene, camera: Camera, cfg: RasterConfig = RasterConfig(),

@@ -97,23 +97,27 @@ def _emission(xy, radius, visible, width, height, ts, max_tiles):
     area = aw * ah
     m = jnp.where(visible, jnp.minimum(area, max_tiles), 0)
     awc = jnp.maximum(aw, 1)
-    q = m // awc                     # full rows emitted
-    r = m - q * awc                  # cells in the partial row
     n_trunc = jnp.sum(jnp.maximum(area - max_tiles, 0)
                       * visible.astype(jnp.int32))
-    return rminx, rminy, aw, awc, m, q, r, n_trunc
+    return rminx, rminy, aw, awc, m, area, n_trunc
 
 
-def _tile_counts(rminx, rminy, aw, q, r, gx, gy):
-    """Exact per-tile emitted-pair counts [gy*gx] WITHOUT the main sort.
+def big_tiles_for(cfg: RasterConfig, width: int, height: int) -> int:
+    """Max tiles any one Gaussian can emit (= the max run length of one
+    depth rank in the sorted pair array; the backward segmented scan's
+    static bound)."""
+    caps = [cap for _, cap in extension_tiers(cfg, 1 << 20, width, height)]
+    return max(caps, default=cfg.max_tiles)
 
-    The emitted set of one Gaussian = full-rows rect + partial-row rect;
-    scatter +-1 at rect corners on the (gy+1, gx+1) difference grid, then a
-    2-D prefix sum. The corner "scatter" is a small sort + bisect (TPU
-    scatters are ~100x slower than sorts at this size)."""
-    gxp = gx + 1
-    G = gxp * (gy + 1)
+
+def _corner_blocks(rminx, rminy, aw, awc, m, G, gxp, flip):
+    """8 corner-id arrays encoding the emission of the FIRST ``m`` row-major
+    cells of each rect (union of a full-rows rect and a partial-row rect =
+    <= 8 signed corners on the (gy+1, gx+1) difference grid). Minus-corners
+    are tagged +G; ``flip`` swaps plus/minus (subtracts the emission)."""
     sent = 2 * G
+    q = m // awc
+    r = m - q * awc
 
     def cid(y, x):
         return y * gxp + x
@@ -121,18 +125,29 @@ def _tile_counts(rminx, rminy, aw, q, r, gx, gy):
     a1 = q > 0
     a2 = r > 0
     y1 = rminy + q
-    # keep every corner array 1-D [N]: column-shaped [N, 1] intermediates
-    # get a 1-lane TPU layout and cost ~1 ms each in fusions
-    ids = jnp.concatenate([
-        jnp.where(a1, cid(rminy, rminx), sent),
-        jnp.where(a1, cid(y1, rminx + aw), sent),
-        jnp.where(a2, cid(y1, rminx), sent),
-        jnp.where(a2, cid(y1 + 1, rminx + r), sent),
-        jnp.where(a1, cid(rminy, rminx + aw), sent) + G,
-        jnp.where(a1, cid(y1, rminx), sent) + G,
-        jnp.where(a2, cid(y1, rminx + r), sent) + G,
-        jnp.where(a2, cid(y1 + 1, rminx), sent) + G,
-    ])
+    # keep every corner array 1-D: column-shaped [N, 1] intermediates get a
+    # 1-lane TPU layout and cost ~1 ms each in fusions
+    plus = [jnp.where(a1, cid(rminy, rminx), sent),
+            jnp.where(a1, cid(y1, rminx + aw), sent),
+            jnp.where(a2, cid(y1, rminx), sent),
+            jnp.where(a2, cid(y1 + 1, rminx + r), sent)]
+    minus = [jnp.where(a1, cid(rminy, rminx + aw), sent),
+             jnp.where(a1, cid(y1, rminx), sent),
+             jnp.where(a2, cid(y1, rminx + r), sent),
+             jnp.where(a2, cid(y1 + 1, rminx), sent)]
+    if flip:
+        plus, minus = minus, plus
+    return plus + [x + G for x in minus]
+
+
+def _tile_counts(corner_ids, gx, gy):
+    """Exact per-tile emitted-pair counts [gy*gx] WITHOUT the main sort:
+    sort the corner ids, bisect per-id occurrence counts, difference the
+    plus/minus planes, 2-D prefix sum (TPU scatters are ~100x slower than
+    sorts at this size, so the corner "scatter" is a sort + bisect)."""
+    gxp = gx + 1
+    G = gxp * (gy + 1)
+    ids = jnp.concatenate(corner_ids)
     s = jnp.sort(ids, stable=False)
     rounds = int(np.ceil(np.log2(max(ids.shape[0], 2)))) + 1
     bounds = _bisect(s, jnp.arange(2 * G + 1, dtype=jnp.int32), rounds)
@@ -142,26 +157,100 @@ def _tile_counts(rminx, rminy, aw, q, r, gx, gy):
     return counts2d[:gy, :gx].reshape(-1)                    # [T]
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
-def pair_stats(xy, radius, visible, width: int, height: int,
-               cfg: RasterConfig):
-    """Exact (n_pairs_kept, n_dropped) of build_pairs without the main sort
-    (same corner-histogram counts + the same cap-clamp arithmetic)."""
+def extension_tiers(cfg: RasterConfig, n: int,
+                    width: int, height: int) -> list[tuple[int, int]]:
+    """Static (count, tile cap) tiers of the giant-splat extension: a few
+    full-grid slots for huge splats + many mid slots, so thousands of
+    moderately-big Gaussians (fresh RGB-D insertions in sparse regions) are
+    covered without paying full-grid key capacity for each."""
+    ts = cfg.tile_size
+    T = (-(-width // ts)) * (-(-height // ts))
+    full = T if cfg.big_tiles is None else min(cfg.big_tiles, T)
+    tiers = []
+    ka = min(cfg.big_k, n)
+    if ka > 0 and full > cfg.max_tiles:
+        tiers.append((ka, full))
+    kb = min(cfg.mid_k, max(n - ka, 0))
+    mid = min(cfg.mid_tiles, full)
+    if kb > 0 and cfg.max_tiles < mid < full:
+        tiers.append((kb, mid))
+    return tiers
+
+
+def _big_extension(area, visible, rminx, rminy, aw, awc, m,
+                   gx, G, gxp, tiers):
+    """Giant-splat extension: the largest-area visible Gaussians (by one
+    descending area sort) emit their remaining cells [m, min(area, cap))
+    beyond the dense cap, tier t covering ranks
+    [sum(K_<t), sum(K_<=t)) at tile cap cap_t. Returns (corner id blocks,
+    total per-Gaussian extension [N], per-tier key-emission geometry)."""
+    areav = jnp.where(visible, area, 0)
+    n = area.shape[0]
+    _, order_desc = jax.lax.sort_key_val(-areav,
+                                         jnp.arange(n, dtype=jnp.int32))
+    ids, geo = [], []
+    m_ext = jnp.zeros_like(m)
+    off = 0
+    for K, cap in tiers:
+        bidx = jax.lax.dynamic_slice_in_dim(order_desc, off, K)
+        off += K
+        m2 = jnp.minimum(jnp.minimum(areav[bidx], cap), IDX_MASK)
+        m1 = m[bidx]                             # dense part already emitted
+        ext = jnp.maximum(m2 - m1, 0)
+        brminx, brminy = rminx[bidx], rminy[bidx]
+        baw, bawc = aw[bidx], awc[bidx]
+        ids += (_corner_blocks(brminx, brminy, baw, bawc, m2, G, gxp, False)
+                + _corner_blocks(brminx, brminy, baw, bawc, m1, G, gxp,
+                                 True))
+        m_ext = m_ext.at[bidx].add(ext)
+        geo.append((bidx, brminx, brminy, bawc, m1, m2, cap))
+    return ids, m_ext, geo
+
+
+def _counts_and_geometry(xy, radius, visible, width, height, cfg,
+                         max_tiles):
+    """Shared between pair_stats and build_pairs: emission geometry, exact
+    per-tile counts (dense + giant-splat extension tiers), per-rank totals,
+    and the truncation count remaining after the extension."""
     ts = cfg.tile_size
     gx = -(-width // ts)
     gy = -(-height // ts)
+    gxp = gx + 1
+    G = gxp * (gy + 1)
+    N = xy.shape[0]
+    rminx, rminy, aw, awc, m, area, n_trunc = _emission(
+        xy, radius, visible, width, height, ts, max_tiles)
+    ids = _corner_blocks(rminx, rminy, aw, awc, m, G, gxp, False)
+    tiers = extension_tiers(cfg, N, width, height)
+    geo = []
+    m_tot = m
+    if tiers:
+        bids, m_ext, geo = _big_extension(
+            area, visible, rminx, rminy, aw, awc, m, gx, G, gxp, tiers)
+        ids = ids + bids
+        m_tot = m + m_ext
+        n_trunc = n_trunc - jnp.sum(m_ext)
+    counts = _tile_counts(ids, gx, gy)
+    return (gx, gy, rminx, rminy, awc, m, m_tot, counts, n_trunc, geo)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def pair_stats(xy, radius, visible, width: int, height: int,
+               cfg: RasterConfig):
+    """Exact (n_pairs_kept, n_dropped, n_trunc) of build_pairs without the
+    main sort (same corner-histogram counts + the same cap arithmetic)."""
     N = xy.shape[0]
     max_tiles, pair_cap = resolve_caps(cfg, N)
+    gx, gy, *_rest = geo = _counts_and_geometry(
+        xy, radius, visible, width, height, cfg, max_tiles)
+    m_tot, counts, n_trunc = geo[6], geo[7], geo[8]
     cap_al = pair_cap + gx * gy * ALIGN
-    rminx, rminy, aw, awc, m, q, r, n_trunc = _emission(
-        xy, radius, visible, width, height, ts, max_tiles)
-    counts = _tile_counts(rminx, rminy, aw, q, r, gx, gy)
     asize = ((counts + ALIGN - 1) // ALIGN) * ALIGN
     astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(asize).astype(jnp.int32)])[:-1]
     kept = jnp.sum(jnp.clip(cap_al - astarts, 0, counts))
-    total_valid = jnp.sum(m)
-    return kept, n_trunc + (total_valid - kept)
+    total_valid = jnp.sum(m_tot)
+    return kept, n_trunc + (total_valid - kept), n_trunc
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
@@ -189,9 +278,9 @@ def build_pairs(xy, radius, visible, width: int, height: int,
     max_tiles, pair_cap = resolve_caps(cfg, N, max_tiles, pair_cap)
     cap_al = pair_cap + T * ALIGN
 
-    rminx, rminy, aw, awc, m, q, r, n_trunc = _emission(
-        xy, radius, visible, width, height, ts, max_tiles)
-    counts = _tile_counts(rminx, rminy, aw, q, r, gx, gy)
+    (gx, gy, rminx, rminy, awc, m, m_tot, counts, n_trunc,
+     geo) = _counts_and_geometry(xy, radius, visible, width, height, cfg,
+                                 max_tiles)
 
     # per-tile filler population so every segment is a 128-multiple
     fill = (-counts) % ALIGN
@@ -206,25 +295,40 @@ def build_pairs(xy, radius, visible, width: int, height: int,
     ridx = jnp.arange(N, dtype=jnp.int32)
     key = jnp.where(slot[None, :] < m[:, None],
                     (tile << IDX_BITS) | ridx[:, None], jnp.int32(_I32_MAX))
+    key_blocks = [key.reshape(-1)]
+
+    for bidx, brminx, brminy, bawc, m1, m2, cap in geo:
+        # giant-splat extension keys: cells [m1, m2) of this tier's rects
+        slot2 = jnp.arange(cap, dtype=jnp.int32)
+        dx2 = slot2[None, :] % bawc[:, None]
+        dy2 = slot2[None, :] // bawc[:, None]
+        ok2 = (slot2[None, :] >= m1[:, None]) & (slot2[None, :] < m2[:, None])
+        # clamp the masked-out branch: dy2 can run past the rect for small
+        # rects and the tile id would overflow the shift
+        tile2 = jnp.where(ok2, (brminy[:, None] + dy2) * gx
+                          + brminx[:, None] + dx2, 0)
+        key_blocks.append(jnp.where(
+            ok2, (tile2 << IDX_BITS) | bidx[:, None],
+            jnp.int32(_I32_MAX)).reshape(-1))
 
     lane = jnp.arange(ALIGN, dtype=jnp.int32)
     tid = jnp.arange(T, dtype=jnp.int32)
     fkey = jnp.where(lane[None, :] < fill[:, None],
                      (tid[:, None] << IDX_BITS) | IDX_MASK,
                      jnp.int32(_I32_MAX))
+    key_blocks.append(fkey.reshape(-1))
 
-    sorted_all = jnp.sort(jnp.concatenate([key.reshape(-1),
-                                           fkey.reshape(-1)]),
-                          stable=False)[:cap_al]
+    sorted_all = jnp.sort(jnp.concatenate(key_blocks), stable=False)[:cap_al]
     rank = sorted_all & IDX_MASK
     pair_idx = jnp.where(rank == IDX_MASK, N, rank)
 
     counts_c = jnp.clip(cap_al - astarts, 0, counts)
-    total_valid = jnp.sum(m)
+    total_valid = jnp.sum(m_tot)
     n_dropped = n_trunc + (total_valid - jnp.sum(counts_c))
     return {"pair_idx": pair_idx.astype(jnp.int32),
             "starts": jnp.minimum(astarts, cap_al), "counts": counts_c,
             # emitted pairs per depth rank [N] (= number of touched tiles);
             # exact run lengths of each rank in rank-sorted pair order
             # whenever n_dropped == 0
-            "per_rank_counts": m, "n_dropped": n_dropped}
+            "per_rank_counts": m_tot, "n_dropped": n_dropped,
+            "n_trunc": n_trunc}

@@ -664,7 +664,9 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
     x = gperm.T                                               # [rows, PC]
     pos = jnp.arange(PC, dtype=jnp.int32)
     k = 1
-    while k < cfg.max_tiles:
+    # max run length of one rank = the giant-splat extension tile cap
+    kmax = pairs_mod.big_tiles_for(cfg, width, height)
+    while k < kmax:
         same = (jnp.roll(si, k) == si) & (pos >= k)
         x = jnp.where(same[None, :], x + jnp.roll(x, k, axis=1), x)
         k *= 2

@@ -35,6 +35,17 @@ class RasterConfig:
     # RenderOutput.n_dropped so it can never silently under-render.
     max_tiles: int = struct.field(pytree_node=False, default=20)
     pair_cap_factor: int = struct.field(pytree_node=False, default=4)
+    # Giant-splat extension (Pallas path): the largest-area Gaussians (by
+    # one descending area sort) additionally emit tiles beyond max_tiles in
+    # two static tiers — big_k full-grid slots (big_tiles None = whole tile
+    # grid) for huge splats, mid_k slots of mid_tiles for the moderately big
+    # (fresh RGB-D insertions in sparse regions produce thousands of
+    # 20-130-tile splats) — so real scenes never truncate while max_tiles
+    # stays small for the 99.9% of Gaussians that fit it. big_k=0 disables.
+    big_k: int = struct.field(pytree_node=False, default=256)
+    big_tiles: int | None = struct.field(pytree_node=False, default=None)
+    mid_k: int = struct.field(pytree_node=False, default=4096)
+    mid_tiles: int = struct.field(pytree_node=False, default=128)
 
 
 @struct.dataclass
@@ -48,6 +59,10 @@ class RenderOutput:
     radii: jax.Array        # [N]         screen-space radius (pixels, int32)
     means2d: jax.Array      # [N, 2]      pixel-space projected centers
     n_dropped: jax.Array    # []          pairs lost to binning caps (int32)
+    n_trunc: jax.Array      # []          subset of n_dropped lost to the
+    #                                     per-Gaussian tile cap (vs the
+    #                                     global pair budget) — the trainer
+    #                                     escalates each cap independently
 
 
 @struct.dataclass

@@ -105,9 +105,14 @@ class MappingConfig:
     tile_chunk: int = 32
     use_pallas: bool | None = None
     # pair-binning caps; the trainer auto-escalates these when a step
-    # reports dropped pairs (RenderOutput.n_dropped)
+    # reports dropped pairs (RenderOutput.n_dropped): per-Gaussian
+    # truncation grows the giant-splat extension (big_k), global-budget
+    # overflow grows pair_cap_factor — each cap against its own cause, so
+    # pair memory never inflates for the wrong reason
     max_tiles: int = 20
     pair_cap_factor: int = 4
+    big_k: int = 256
+    mid_k: int = 4096
     # insertion budgets
     kp_budget: int = 16384
     nonkp_budget: int = 8192
@@ -125,7 +130,8 @@ class MappingConfig:
                             tile_chunk=self.tile_chunk,
                             use_pallas=use_pallas,
                             max_tiles=self.max_tiles,
-                            pair_cap_factor=self.pair_cap_factor)
+                            pair_cap_factor=self.pair_cap_factor,
+                            big_k=self.big_k, mid_k=self.mid_k)
 
     def opt_lr_dict(self) -> dict:
         return {
@@ -217,16 +223,17 @@ def make_mapping_step(cfg: MappingConfig):
                                         frame["exposure"][1],
                                         cfg.rgb_boundary_threshold)
                 l = l + losses.marker_loss(out.image[..., 3], gt_score)
-                return l, (out.radii, out.n_dropped)
+                return l, (out.radii, out.n_dropped, out.n_trunc)
 
-            ls, (radii, ndrop) = jax.vmap(one)(frames, offsets)
+            ls, (radii, ndrop, ntrunc) = jax.vmap(one)(frames, offsets)
             loss = jnp.sum(ls)
             iso = losses.isotropic_loss(jnp.exp(params["scaling"]),
                                         params["marker"][:, 0], scene.alive,
                                         cfg.marker_thresh)
             if cfg.primitive_reg:
                 loss = loss + cfg.isotropic_weight * iso
-            return loss, (radii, jnp.sum(ndrop))
+            return loss, (radii, jnp.stack([jnp.sum(ndrop),
+                                            jnp.sum(ntrunc)]))
 
         offsets = jnp.zeros((V, M, 2), jnp.float32)
         (loss, (radii, n_dropped)), (grads, off_grads) = jax.value_and_grad(
@@ -337,7 +344,7 @@ class MappingTrainer:
         silent under-rendering is impossible by construction."""
         if self._last_n_dropped is None:
             return
-        dropped = int(self._last_n_dropped)
+        dropped, trunc = (int(x) for x in np.asarray(self._last_n_dropped))
         self._last_n_dropped = None
         if dropped == 0:
             return
@@ -345,14 +352,22 @@ class MappingTrainer:
         import dataclasses
         import warnings
         old = self.cfg
-        self.cfg = dataclasses.replace(
-            old, max_tiles=old.max_tiles * 2,
-            pair_cap_factor=old.pair_cap_factor * 2)
+        changes = {}
+        if trunc > 0:
+            # some Gaussian overflowed the giant-splat extension tiers (or
+            # didn't get an extension slot): grow both tier pools
+            changes["big_k"] = max(old.big_k * 2, 256)
+            changes["mid_k"] = max(old.mid_k * 2, 4096)
+        if dropped > trunc:
+            # global pair budget overflowed: grow it (and the per-tile list
+            # capacity of the XLA fallback path, whose drops count here too)
+            changes["pair_cap_factor"] = old.pair_cap_factor * 2
+            changes["max_per_tile"] = old.max_per_tile * 2
+        self.cfg = dataclasses.replace(old, **changes)
         warnings.warn(
-            f"rasterizer dropped {dropped} (gaussian, tile) pairs at iter "
-            f"{self.iteration}; escalating max_tiles {old.max_tiles}->"
-            f"{self.cfg.max_tiles}, pair_cap_factor {old.pair_cap_factor}->"
-            f"{self.cfg.pair_cap_factor} (recompiles the step)")
+            f"rasterizer dropped {dropped} (gaussian, tile) pairs "
+            f"({trunc} to per-Gaussian tile caps) at iter {self.iteration}; "
+            f"escalating {changes} (recompiles the step)")
         self._mapping_step = make_mapping_step(self.cfg)
         self._refine_step = make_refinement_step(self.cfg)
 

@@ -132,3 +132,60 @@ def test_multichannel_feature_rendering(rng):
     g_p = jax.grad(loss(CFG_P))(args[4])
     np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=3e-5,
                                rtol=5e-4)
+
+
+def test_giant_splat_extension(rng):
+    """A splat whose tile rect far exceeds max_tiles must not drop pairs:
+    the top-K extension emits its remaining tiles (VERDICT r2: the trainer
+    previously escalated max_tiles/pair_cap unboundedly and OOM'd)."""
+    means, scales, quats, opac, colors = make_scene(rng, 64)
+    # one huge foreground splat covering most of the screen
+    means = means.at[0].set(jnp.array([0.0, 0.0, 1.0]))
+    scales = scales.at[0].set(jnp.array([1.2, 1.2, 0.01]))
+    opac = opac.at[0].set(0.35)
+    cam = make_camera()
+    cfg_small = CFG_X.replace(max_tiles=4, big_k=8)
+    proj = project.project_gaussians(means, scales, quats, cam, cfg_small)
+    order = binning.depth_sort(proj)
+    pr = pairs.build_pairs(proj.xy[order], proj.radius[order],
+                           proj.visible[order], W, H, cfg_small)
+    area_max = int(jnp.max((proj.radius * 2 / cfg_small.tile_size + 2) ** 2))
+    assert area_max > 4          # the scene genuinely exceeds max_tiles
+    assert int(pr["n_dropped"]) == 0
+    assert int(pr["n_trunc"]) == 0
+    # stats agree with the sort-based builder
+    kept, nd, nt = pairs.pair_stats(proj.xy, proj.radius, proj.visible,
+                                    W, H, cfg_small)
+    assert int(nd) == 0 and int(nt) == 0
+    assert int(kept) == int(jnp.sum(pr["counts"]))
+    # and rendering through the extension path matches the XLA oracle,
+    # forward and backward
+    cfg_p = CFG_P.replace(max_tiles=4, big_k=8)
+    sc = (means, scales, quats, opac, colors)
+    out_x = rasterize(*sc, cam, CFG_X)
+    out_p = rasterize(*sc, cam, cfg_p)
+    np.testing.assert_allclose(np.asarray(out_p.image),
+                               np.asarray(out_x.image), atol=5e-5)
+
+    def loss(cfg):
+        return lambda op: jnp.sum(
+            rasterize(means, scales, quats, op, colors, cam, cfg).image)
+    g_x = jax.grad(loss(CFG_X))(opac)
+    g_p = jax.grad(loss(cfg_p))(opac)
+    np.testing.assert_allclose(np.asarray(g_p), np.asarray(g_x), atol=5e-5,
+                               rtol=5e-4)
+
+
+def test_truncation_reported_when_extension_exhausted(rng):
+    """With big_k=0 and a tiny max_tiles, drops must be reported as
+    truncation (the signal the trainer's escalation keys on)."""
+    means, scales, quats, opac, colors = make_scene(rng, 64)
+    means = means.at[0].set(jnp.array([0.0, 0.0, 1.0]))
+    scales = scales.at[0].set(jnp.array([1.2, 1.2, 0.01]))
+    cam = make_camera()
+    cfg = CFG_X.replace(max_tiles=4, big_k=0)
+    proj = project.project_gaussians(means, scales, quats, cam, cfg)
+    _, nd, nt = pairs.pair_stats(proj.xy, proj.radius, proj.visible,
+                                 W, H, cfg)
+    assert int(nt) > 0
+    assert int(nd) >= int(nt)

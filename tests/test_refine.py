@@ -77,5 +77,7 @@ def test_refine_pose_noop_at_gt(rng):
                            iters=40, lr=2e-3)
     t1, r1 = _pose_err(np.asarray(transforms.se3_exp(xi)), np.eye(4))
     assert t1 < 2e-3 and r1 < 0.1
-    # converged fast: loss0 is already ~0
-    assert float(info["loss0"]) < 1e-5
+    # already converged: the finest level's final loss is ~0 (loss0 is the
+    # COARSE pyramid level's start loss — a downscale render differs from
+    # the pooled full-res target even at the exact gt pose)
+    assert float(info["loss"]) < 1e-5

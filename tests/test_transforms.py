@@ -74,3 +74,18 @@ def test_transform_points(rng):
     out = tf.transform_points(T, pts)
     expected = (np.asarray(T[:3, :3]) @ np.asarray(pts).T).T + np.asarray(T[:3, 3])
     np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_se3_log_roundtrip():
+    rng = np.random.default_rng(4)
+    for _ in range(5):
+        xi = jnp.asarray(rng.normal(scale=0.7, size=6).astype(np.float32))
+        T = tf.se3_exp(xi)
+        xi_back = tf.se3_log(T)
+        np.testing.assert_allclose(np.asarray(xi_back), np.asarray(xi),
+                                   atol=2e-5, rtol=1e-4)
+    # small-angle branch
+    xi = jnp.asarray([1e-9, -2e-9, 1e-9, 1e-10, 0.0, -1e-10])
+    np.testing.assert_allclose(
+        np.asarray(tf.se3_log(tf.se3_exp(xi))),
+        np.asarray(xi), atol=1e-12)

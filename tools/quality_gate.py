@@ -1,0 +1,194 @@
+"""Full-scale synthetic quality gate on the real chip.
+
+Protocol (reference eval_utils.py:22-72 rendering eval, at reference scale):
+a ground-truth Gaussian scene is rendered at 640x480 into 36 training RGB-D
+keyframes (+ held-out eval views); the mapping trainer then reconstructs the
+scene from scratch through the real schedule — per-frame RGB-D insertion,
+windowed mapping steps, densify/prune every 150 iters, opacity reset at 2001
+— growing through >=100k alive Gaussians; finally held-out views are scored
+with masked PSNR/SSIM and the kp channel is checked for marker fidelity
+(rendered keypoint probability concentrated at the gt landmark pixels).
+
+Run on the chip:   python tools/quality_gate.py
+Opt-in test gate:  SPLATLOC_QUALITY_GATE=1 pytest tests/test_quality_gate.py
+Passes when mean eval PSNR >= 30 and kp contrast >= 5x.
+
+Prints one JSON line with psnr/ssim/kp_contrast/n_alive/iters_per_s.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def make_gt_scene(n_gauss: int, rng: np.random.Generator):
+    """Structured opaque-ish cloud: room-box walls + floating clutter, so
+    depth maps are dense and densification has real work to do."""
+    n_wall = n_gauss // 2
+    n_free = n_gauss - n_wall
+    # walls of a 6x4x8m room (z in [2, 10] in front of the start pose)
+    u = rng.uniform(0, 1, (n_wall, 2)).astype(np.float32)
+    side = rng.integers(0, 5, n_wall)
+    wx = np.where(side == 0, -3.0, np.where(side == 1, 3.0,
+                  (u[:, 0] * 6 - 3)))
+    wy = np.where(side < 2, u[:, 0] * 4 - 2,
+                  np.where(side == 2, -2.0, np.where(side == 3, 2.0,
+                           u[:, 1] * 4 - 2)))
+    wz = np.where(side < 4, 2.0 + u[:, 1] * 8, 10.0)
+    wall = np.stack([wx, wy, wz], -1).astype(np.float32)
+    free = np.stack([rng.uniform(-2.5, 2.5, n_free),
+                     rng.uniform(-1.6, 1.6, n_free),
+                     rng.uniform(2.5, 9.0, n_free)], -1).astype(np.float32)
+    means = np.concatenate([wall, free])
+    scales = np.exp(rng.uniform(-3.6, -2.6, (n_gauss, 3))).astype(np.float32)
+    quats = rng.normal(size=(n_gauss, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    opac = rng.uniform(0.7, 0.98, n_gauss).astype(np.float32)
+    # smooth color field so the target is learnable structure, not noise
+    colors = (0.5 + 0.45 * np.stack([
+        np.sin(means[:, 0] * 1.7) * np.cos(means[:, 2] * 0.9),
+        np.sin(means[:, 1] * 2.3 + 1.0),
+        np.cos(means[:, 0] * 1.1 + means[:, 2] * 0.7)], -1)
+    ).astype(np.float32)
+    return means, scales, quats, opac, colors
+
+
+def orbit_pose(i: int, n: int, jitter=(0.0, 0.0)):
+    ang = 0.9 * (i / max(n - 1, 1) - 0.5)
+    c2w = np.eye(4, dtype=np.float32)
+    c, s = np.cos(ang), np.sin(ang)
+    c2w[:3, :3] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    c2w[:3, 3] = [1.8 * s + jitter[0], 0.25 * np.sin(3 * ang) + jitter[1],
+                  1.2 * (1 - c)]
+    return np.linalg.inv(c2w).astype(np.float32)      # w2c
+
+
+def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
+         n_gauss_gt: int = 60_000, seed: int = 0, W: int = 640, H: int = 480,
+         capacity: int = 2 ** 17):
+    from splatloc_tpu.core.camera import Camera
+    from splatloc_tpu.raster import rasterize, RasterConfig, render
+    from splatloc_tpu.train.mapping import MappingConfig, MappingTrainer
+    from splatloc_tpu.train.losses import ssim
+    from splatloc_tpu.eval.metrics import psnr_masked
+
+    t_all = time.perf_counter()
+
+    def log(msg):
+        print(f"[gate +{time.perf_counter() - t_all:.0f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    fx = fy = W / 2.0
+    cx, cy = (W - 1) / 2, (H - 1) / 2
+    rng = np.random.default_rng(seed)
+    gt = make_gt_scene(n_gauss_gt, rng)
+    gt_dev = tuple(map(jnp.asarray, gt))
+    # ~2.5k gt landmarks for the kp/marker channel
+    n_lm = 2500
+    landmarks = gt[0][rng.permutation(n_gauss_gt)[:n_lm]]
+
+    cfg_r = RasterConfig()
+
+    @jax.jit
+    def render_gt(w2c):
+        cam = Camera.create(w2c, fx, fy, cx, cy, W, H)
+        out = rasterize(*gt_dev, cam, cfg_r)
+        return out.image, out.depth
+
+    log(f"rendering {n_frames} train + {n_eval} eval gt frames")
+    cam0 = Camera.create(np.eye(4, dtype=np.float32), fx, fy, cx, cy, W, H)
+
+    def score_map(w2c):
+        uv, z = cam0.replace_pose(jnp.asarray(w2c)).project(
+            jnp.asarray(landmarks))
+        uv, z = np.asarray(uv), np.asarray(z)
+        sc = np.zeros((H, W), np.float32)
+        ui, vi = np.round(uv[:, 0]).astype(int), np.round(uv[:, 1]).astype(int)
+        ok = (z > 0.2) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
+        sc[vi[ok], ui[ok]] = 0.9
+        return sc
+
+    frames = []
+    for i in range(n_frames):
+        w2c = orbit_pose(i, n_frames)
+        img, dep = render_gt(jnp.asarray(w2c))
+        frames.append((np.asarray(img)[..., :3], np.asarray(dep),
+                       score_map(w2c), w2c))
+    evals = []
+    for i in range(n_eval):
+        w2c = orbit_pose(i * (n_frames - 1) // max(n_eval - 1, 1), n_frames,
+                         jitter=(0.04, 0.03))
+        img, dep = render_gt(jnp.asarray(w2c))
+        evals.append((np.asarray(img)[..., :3], score_map(w2c), w2c))
+
+    cfg = MappingConfig(width=W, height=H, fx=fx, fy=fy, cx=cx, cy=cy)
+    trainer = MappingTrainer(cfg, capacity=capacity,
+                             frame_capacity=max(n_frames, 8), seed=seed)
+
+    log("mapping: incremental keyframe insertion + windowed steps")
+    # incremental phase: insert each keyframe, short map bursts (do_recon)
+    per_kf = max(map_iters // (4 * n_frames), 2)
+    t_map = time.perf_counter()
+    for i, (img, dep, sc, w2c) in enumerate(frames):
+        trainer.add_keyframe(img, dep, sc, w2c)
+        trainer.map(per_kf)
+    # global phase: remaining budget over all keyframes (crosses the 2001
+    # opacity reset and ~14 densify/prune cycles)
+    done = trainer.iteration
+    trainer.map(map_iters - done)
+    jax.block_until_ready(trainer.scene.xyz)
+    dt_map = time.perf_counter() - t_map
+    iters_per_s = trainer.iteration / dt_map
+    n_alive = int(trainer.scene.num_alive)
+    log(f"mapped {trainer.iteration} iters in {dt_map:.0f}s "
+        f"({iters_per_s:.2f} it/s), {n_alive} alive gaussians, "
+        f"{trainer.n_dropped_total} pairs ever dropped")
+
+    log("evaluating held-out views")
+    eval_cfg = trainer.cfg.raster_config()
+
+    @jax.jit
+    def eval_view(scene, w2c):
+        out = render(scene, cam0.replace_pose(w2c), eval_cfg)
+        return out["render"], out["kp_prob"]
+
+    psnrs, ssims, contrasts = [], [], []
+    for img_gt, sc_gt, w2c in evals:
+        img, kp = eval_view(trainer.scene, jnp.asarray(w2c))
+        img, kp = np.asarray(img), np.asarray(kp)
+        psnrs.append(float(psnr_masked(jnp.asarray(img), jnp.asarray(img_gt))))
+        ssims.append(float(ssim(jnp.asarray(img), jnp.asarray(img_gt))))
+        # kp fidelity: mean rendered keypoint prob at gt landmark pixels vs
+        # everywhere else (contrast >= 5x = the channel localizes markers).
+        # The background mean can be ~0 or slightly negative (raw kp_score
+        # is rendered unclamped, like the reference's score channel), so
+        # floor it for a sane ratio.
+        at = sc_gt > 0
+        if at.any():
+            contrasts.append(
+                float(kp[at].mean() / max(kp[~at].mean(), 0.02)))
+
+    res = {
+        "psnr": round(float(np.mean(psnrs)), 2),
+        "ssim": round(float(np.mean(ssims)), 3),
+        "kp_contrast": round(float(np.mean(contrasts)), 1),
+        "n_alive": n_alive,
+        "iters": trainer.iteration,
+        "iters_per_s": round(iters_per_s, 2),
+        "n_dropped_total": trainer.n_dropped_total,
+        "wall_s": round(time.perf_counter() - t_all, 0),
+    }
+    print(json.dumps(res), flush=True)
+    return res
+
+
+if __name__ == "__main__":
+    kw = {}
+    if len(sys.argv) > 1:
+        kw["map_iters"] = int(sys.argv[1])
+    main(**kw)
