@@ -88,3 +88,28 @@ def test_full_replay_writes_sequence(tmp_path):
         query_names=["q0", "q1", "q2"])
     assert len(frames) == 3
     assert os.path.exists(os.path.join(tmp_path, "replay", "frame_00001.png"))
+
+
+def test_replay_cli(tmp_path):
+    """cli.replay consumes the save_pose/save_match artifact layout that
+    cli.test writes (reference __main__ flow)."""
+    from splatloc_tpu.cli import replay as replay_cli
+
+    verts, normals, colors = _sphere_mesh()
+    mesh_path = os.path.join(tmp_path, "mesh.ply")
+    save_mesh_ply(mesh_path, verts, np.zeros((1, 3), np.int64), normals,
+                  colors)
+    gt = _poses(4)
+    pred = gt.copy()
+    pred[:, 0, 3] += 0.02          # within the outlier gate
+    pred[3, 0, 3] += 5.0           # one outlier to filter
+    pdir = os.path.join(tmp_path, "save_pose")
+    os.makedirs(pdir)
+    np.save(os.path.join(pdir, "gt.npy"), gt)
+    np.save(os.path.join(pdir, "match_r.npy"), pred[:, :3, :3])
+    np.save(os.path.join(pdir, "match_t.npy"), pred[:, :3, 3])
+    out = os.path.join(tmp_path, "replay3d")
+    replay_cli.main(["--save_dir", str(tmp_path), "--mesh", mesh_path,
+                     "--out", out, "--width", "160", "--height", "120"])
+    assert os.path.exists(os.path.join(out, "frame_00002.png"))
+    assert not os.path.exists(os.path.join(out, "frame_00003.png"))
