@@ -81,3 +81,29 @@ def test_refine_pose_noop_at_gt(rng):
     # COARSE pyramid level's start loss — a downscale render differs from
     # the pooled full-res target even at the exact gt pose)
     assert float(info["loss"]) < 1e-5
+
+
+def test_refine_pose_pyramid_converges_from_5deg(rng):
+    """The coarse-to-fine pyramid widens the basin: a ~5.5cm/5deg start —
+    outside the full-resolution basin — must still converge (the reference
+    use-case is polishing PnP poses, but retrieval-only poses are this far
+    off)."""
+    r = np.random.default_rng(7)
+    scene = _make_scene(r, n=500, cap=512)
+    cam = Camera.create(np.eye(4, dtype=np.float32), 120.0, 120.0, 80.0,
+                        60.0, 160, 120)
+    gt = render(scene, cam, RasterConfig(tile_chunk=8))["render"]
+
+    ax = np.array([0.5, -0.6, 0.62])
+    ax = ax / np.linalg.norm(ax) * np.radians(5.0)
+    xi_true = np.concatenate([[0.03, -0.03, 0.03], ax]).astype(np.float32)
+    w2c_pert = np.asarray(transforms.se3_exp(jnp.asarray(xi_true))
+                          @ np.eye(4, dtype=np.float32))
+    t0, r0 = _pose_err(w2c_pert, np.eye(4))
+    assert r0 > 4.5
+
+    xi, info = refine_pose(scene, cam, w2c_pert, gt, iters=120, lr=4e-3)
+    w2c_ref = np.asarray(transforms.se3_exp(xi) @ jnp.asarray(w2c_pert))
+    t1, r1 = _pose_err(w2c_ref, np.eye(4))
+    assert t1 < t0 / 3.0, (t0, t1)
+    assert r1 < r0 / 3.0, (r0, r1)

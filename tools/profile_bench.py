@@ -57,7 +57,9 @@ def main():
     print(f"steady {dt * 1e3:.2f} ms/iter -> {H * W / dt / 1e6:.2f} Mpix/s",
           flush=True)
 
+    import shutil
     logdir = "/tmp/trace_bench_r2"
+    shutil.rmtree(logdir, ignore_errors=True)   # never aggregate stale runs
     with jax.profiler.trace(logdir):
         for _ in range(iters):
             g = step(*args)
@@ -79,16 +81,24 @@ def main():
             pid_names[e["pid"]] = e.get("args", {}).get("name", "")
     dev_pids = {p for p, n in pid_names.items()
                 if "TPU" in n or "/device" in n.lower()}
+    details = {}
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
             durs[e["name"]] += e.get("dur", 0)
             counts[e["name"]] += 1
+            a = e.get("args", {})
+            info = a.get("long_name") or a.get("hlo_op") or ""
+            src_line = a.get("source_info") or ""
+            if info or src_line:
+                details[e["name"]] = (str(info)[:160], str(src_line)[:120])
     total = sum(durs.values())
     print(f"\n== device ops over {iters} iters "
           f"(total {total / 1e3 / iters:.2f} ms/iter)")
     for name, d in durs.most_common(40):
+        det = details.get(name)
+        extra = f"\n            {det[0]}  @{det[1]}" if det else ""
         print(f"{d / 1e3 / iters:9.3f} ms/iter  x{counts[name] // iters:4d}  "
-              f"{name[:100]}")
+              f"{name[:100]}{extra}")
 
 
 if __name__ == "__main__":

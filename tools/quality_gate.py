@@ -137,10 +137,15 @@ def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
     for i, (img, dep, sc, w2c) in enumerate(frames):
         trainer.add_keyframe(img, dep, sc, w2c)
         trainer.map(per_kf)
+        if i % 6 == 0:
+            log(f"kf {i + 1}/{n_frames}, iter {trainer.iteration}")
     # global phase: remaining budget over all keyframes (crosses the 2001
     # opacity reset and ~14 densify/prune cycles)
-    done = trainer.iteration
-    trainer.map(map_iters - done)
+    while trainer.iteration < map_iters:
+        trainer.map(min(300, map_iters - trainer.iteration))
+        jax.block_until_ready(trainer.scene.xyz)
+        log(f"iter {trainer.iteration}/{map_iters}, "
+            f"alive {int(trainer.scene.num_alive)}")
     jax.block_until_ready(trainer.scene.xyz)
     dt_map = time.perf_counter() - t_map
     iters_per_s = trainer.iteration / dt_map
