@@ -658,7 +658,12 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
     rows = grad_pairs.shape[0]
     ids = pr["pair_idx"]
     si, perm = jax.lax.sort_key_val(ids, jnp.arange(PC, dtype=jnp.int32))
-    gperm = jnp.take(grad_pairs.T, perm, axis=0)              # [PC, rows]
+    # materialize the transpose ROW-MAJOR before gathering: a bitcast
+    # transpose leaves [PC, rows] physically column-major, and the row
+    # gather through that layout measured ~5x slower (3.6 ms vs 0.7)
+    src = jax.lax.optimization_barrier(
+        grad_pairs.T.reshape(PC * rows).reshape(PC, rows))
+    gperm = jnp.take(src, perm, axis=0)                       # [PC, rows]
     gperm = jax.lax.optimization_barrier(gperm)
     # attribute-major for the scan: every step is a lane-axis roll
     x = gperm.T                                               # [rows, PC]

@@ -19,14 +19,43 @@ from splatloc_tpu.core import transforms
 from splatloc_tpu.raster.types import Projected, RasterConfig
 
 
+def _rot_components(quats: jax.Array):
+    """Rotation-matrix entries as nine [N] vectors (quat_to_matrix unrolled;
+    batched [N,3,3] matmuls lower to bf16 MXU custom-calls with pathological
+    T(4,128) layout copies on TPU — elementwise [N]-vector math keeps the
+    whole covariance pipeline in fused f32 VPU ops)."""
+    q = transforms.quat_normalize(quats)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return ((1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
+            (2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
+            (2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)))
+
+
+def _cov3d_components(scales: jax.Array, quats: jax.Array):
+    """Symmetric world covariance R S S^T R^T as a {(j,k): [N]} dict of its
+    six unique entries (reference lower-triangular build,
+    gaussian_splatting/scene/gaussian_model.py:72-76)."""
+    R = _rot_components(quats)
+    s0, s1, s2 = scales[..., 0], scales[..., 1], scales[..., 2]
+    M = [[R[i][0] * s0, R[i][1] * s1, R[i][2] * s2] for i in range(3)]
+    S = {}
+    for j in range(3):
+        for k in range(j, 3):
+            S[(j, k)] = M[j][0] * M[k][0] + M[j][1] * M[k][1] \
+                + M[j][2] * M[k][2]
+            S[(k, j)] = S[(j, k)]
+    return S
+
+
 def build_cov3d(scales: jax.Array, quats: jax.Array) -> jax.Array:
     """Scale (activated, [N,3]) + quaternion ([N,4], wxyz) -> 3D covariance
     [N,3,3]. Reference: R S S^T R^T lower-triangular build
     (gaussian_splatting/scene/gaussian_model.py:72-76,
     utils/general_utils.py:96-110)."""
-    R = transforms.quat_to_matrix(quats)          # [N,3,3]
-    M = R * scales[..., None, :]                  # R @ diag(s)
-    return M @ M.swapaxes(-1, -2)
+    S = _cov3d_components(scales, quats)
+    rows = [jnp.stack([S[(j, 0)], S[(j, 1)], S[(j, 2)]], -1)
+            for j in range(3)]
+    return jnp.stack(rows, axis=-2)
 
 
 def project_gaussians(
@@ -42,7 +71,11 @@ def project_gaussians(
     R_cw = w2c[:3, :3]
     t_cw = w2c[:3, 3]
 
-    p_view = means3d @ R_cw.T + t_cw
+    # elementwise world->view (a [N,3]@[3,3] dot can lower to a bf16 MXU
+    # op on TPU — quantizing positions)
+    p_view = jnp.stack(
+        [means3d[:, 0] * R_cw[i, 0] + means3d[:, 1] * R_cw[i, 1]
+         + means3d[:, 2] * R_cw[i, 2] + t_cw[i] for i in range(3)], axis=-1)
     z = p_view[..., 2]
     in_front = z > cfg.near
 
@@ -69,16 +102,27 @@ def project_gaussians(
     j11 = fy / zs
     j12 = -fy * ty / (zs * zs)
 
-    cov3d = build_cov3d(scales * scaling_modifier, quats)        # [N,3,3]
-    # V' = W Sigma W^T in view space, then 2x2 block via J.
-    covV = jnp.einsum("ij,njk,lk->nil", R_cw, cov3d, R_cw)       # [N,3,3]
+    S = _cov3d_components(scales * scaling_modifier, quats)
+    # V' = W Sigma W^T in view space (W = R_cw constant 3x3: unrolled
+    # scalar-broadcast fmas instead of an [N,3,3] einsum), then the 2x2
+    # block via J.
+
+    def covV(i, l):
+        acc = 0.0
+        for j in range(3):
+            for k in range(3):
+                acc = acc + R_cw[i, j] * R_cw[l, k] * S[(j, k)]
+        return acc
+
+    v00, v01, v02 = covV(0, 0), covV(0, 1), covV(0, 2)
+    v11, v12, v22 = covV(1, 1), covV(1, 2), covV(2, 2)
     # 2x2 = J covV J^T with J = [[j00,0,j02],[0,j11,j12]]
-    c00 = (j00 * (j00 * covV[:, 0, 0] + j02 * covV[:, 2, 0])
-           + j02 * (j00 * covV[:, 0, 2] + j02 * covV[:, 2, 2]))
-    c01 = (j11 * (j00 * covV[:, 0, 1] + j02 * covV[:, 2, 1])
-           + j12 * (j00 * covV[:, 0, 2] + j02 * covV[:, 2, 2]))
-    c11 = (j11 * (j11 * covV[:, 1, 1] + j12 * covV[:, 2, 1])
-           + j12 * (j11 * covV[:, 1, 2] + j12 * covV[:, 2, 2]))
+    c00 = (j00 * (j00 * v00 + j02 * v02)
+           + j02 * (j00 * v02 + j02 * v22))
+    c01 = (j11 * (j00 * v01 + j02 * v12)
+           + j12 * (j00 * v02 + j02 * v22))
+    c11 = (j11 * (j11 * v11 + j12 * v12)
+           + j12 * (j11 * v12 + j12 * v22))
 
     c00 = c00 + cfg.cov2d_blur
     c11 = c11 + cfg.cov2d_blur

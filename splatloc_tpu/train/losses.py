@@ -70,10 +70,14 @@ def ssim(img1: jax.Array, img2: jax.Array, window_size: int = 11) -> jax.Array:
 
     def filt(x):
         x = x[None]                                        # NHWC
+        # HIGHEST precision: the TPU MXU's default bf16 conv makes
+        # sigma^2 = E[x^2] - mu^2 catastrophically cancel on low-variance
+        # (dark) windows — SSIM came out > 1 on rendered scenes
         return jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1), padding="SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=C)[0]
+            feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST)[0]
 
     mu1, mu2 = filt(img1), filt(img2)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2

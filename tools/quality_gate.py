@@ -104,13 +104,21 @@ def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
     cam0 = Camera.create(np.eye(4, dtype=np.float32), fx, fy, cx, cy, W, H)
 
     def score_map(w2c):
+        """Blobby keypoint heatmap like a SuperPoint score map (5x5
+        gaussian around each projected landmark): single-pixel spikes are
+        unlearnable under BCE — a splat covering ~50 px with one positive
+        pixel optimizes to background."""
         uv, z = cam0.replace_pose(jnp.asarray(w2c)).project(
             jnp.asarray(landmarks))
         uv, z = np.asarray(uv), np.asarray(z)
         sc = np.zeros((H, W), np.float32)
         ui, vi = np.round(uv[:, 0]).astype(int), np.round(uv[:, 1]).astype(int)
-        ok = (z > 0.2) & (ui >= 0) & (ui < W) & (vi >= 0) & (vi < H)
-        sc[vi[ok], ui[ok]] = 0.9
+        ok = (z > 0.2) & (ui >= 2) & (ui < W - 2) & (vi >= 2) & (vi < H - 2)
+        ui, vi = ui[ok], vi[ok]
+        for dy in range(-2, 3):
+            for dx in range(-2, 3):
+                val = 0.9 * np.exp(-(dx * dx + dy * dy) / 2.0)
+                np.maximum.at(sc, (vi + dy, ui + dx), val)
         return sc
 
     frames = []
@@ -168,15 +176,14 @@ def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
         img, kp = np.asarray(img), np.asarray(kp)
         psnrs.append(float(psnr_masked(jnp.asarray(img), jnp.asarray(img_gt))))
         ssims.append(float(ssim(jnp.asarray(img), jnp.asarray(img_gt))))
-        # kp fidelity: mean rendered keypoint prob at gt landmark pixels vs
-        # everywhere else (contrast >= 5x = the channel localizes markers).
-        # The background mean can be ~0 or slightly negative (raw kp_score
-        # is rendered unclamped, like the reference's score channel), so
-        # floor it for a sane ratio.
-        at = sc_gt > 0
+        # kp fidelity: the composited kp channel is a LOGIT (marker_loss is
+        # BCE on sigmoid of it) — compare in probability space: mean
+        # sigmoid at gt landmark-peak pixels vs everywhere else
+        prob = 1.0 / (1.0 + np.exp(-np.clip(kp, -30, 30)))
+        at = sc_gt > 0.8
         if at.any():
             contrasts.append(
-                float(kp[at].mean() / max(kp[~at].mean(), 0.02)))
+                float(prob[at].mean() / max(prob[~at].mean(), 1e-3)))
 
     res = {
         "psnr": round(float(np.mean(psnrs)), 2),
