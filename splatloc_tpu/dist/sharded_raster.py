@@ -37,7 +37,7 @@ def rasterize_sharded(means3d, scales, quats, opacities, colors,
     proj = project.project_gaussians(means3d, scales, quats, camera, cfg,
                                      alive=alive)
     order = binning.depth_sort(proj)
-    acc = pallas_raster.blend_pairs(
+    acc, n_dropped, n_trunc = pallas_raster.blend_pairs(
         proj.xy, proj.conic, opacities, proj.depth, colors,
         jax.lax.stop_gradient(proj.radius),
         jax.lax.stop_gradient(proj.visible.astype(jnp.float32)),
@@ -45,10 +45,6 @@ def rasterize_sharded(means3d, scales, quats, opacities, colors,
         camera.width, camera.height, cfg, interpret, mesh, axis)
     image, depth, alpha = pallas_raster.assemble_image(
         acc, camera.width, camera.height, cfg, bg)
-    from splatloc_tpu.raster import pairs as pairs_mod
-    _, n_dropped, n_trunc = pairs_mod.pair_stats(
-        jax.lax.stop_gradient(proj.xy), jax.lax.stop_gradient(proj.radius),
-        proj.visible, camera.width, camera.height, cfg)
     return RenderOutput(image=image, depth=depth, alpha=alpha,
                         radii=proj.radius.astype(jnp.int32), means2d=proj.xy,
                         n_dropped=n_dropped, n_trunc=n_trunc)

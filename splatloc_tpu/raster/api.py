@@ -49,10 +49,9 @@ def rasterize(
     order = binning.depth_sort(proj)
 
     if cfg.use_pallas:
-        from splatloc_tpu.raster import pairs as pairs_mod
         from splatloc_tpu.raster import pallas_raster
         interpret = jax.default_backend() == "cpu"
-        acc = pallas_raster.blend_pairs(
+        acc, n_dropped, n_trunc = pallas_raster.blend_pairs(
             proj.xy, proj.conic, opacities, proj.depth, colors,
             jax.lax.stop_gradient(proj.radius),
             jax.lax.stop_gradient(proj.visible.astype(jnp.float32)),
@@ -60,10 +59,6 @@ def rasterize(
             camera.width, camera.height, cfg, interpret)
         image, depth, alpha = pallas_raster.assemble_image(
             acc, camera.width, camera.height, cfg, bg)
-        _, n_dropped, n_trunc = pairs_mod.pair_stats(
-            jax.lax.stop_gradient(proj.xy),
-            jax.lax.stop_gradient(proj.radius), proj.visible,
-            camera.width, camera.height, cfg)
     else:
         lists, _counts, n_dropped = binning.tile_lists(
             proj, order, camera.width, camera.height, cfg)

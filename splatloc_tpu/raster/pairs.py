@@ -64,6 +64,30 @@ def resolve_caps(cfg: RasterConfig, n: int,
     return max_tiles, pair_cap
 
 
+def _misaligned(cap_al: int) -> int:
+    """Keep the pair-array length OFF 1024-multiples: XLA:TPU's gather
+    emitter takes a ~2.6x slower path when the gathered row count is an
+    exact 1024 multiple (measured 4.35 vs 1.68 ms for the backward
+    rank-sort gather at 453632 vs +640 rows; non-multiples route through a
+    pad-to-1024 + clamp wrapper that pipelines properly). 640 keeps
+    128-alignment for the tile segments."""
+    return cap_al + 640 if cap_al % 1024 == 0 else cap_al
+
+
+def _cap_al(cfg: RasterConfig, n: int, width: int, height: int,
+            pair_cap: int, max_tiles: int) -> int:
+    """Static aligned pair-array length: budget + per-tile fill reserve,
+    nudged off 1024-multiples, clamped to the total key population (tiny
+    scenes can have fewer emitted keys than the nudged budget — the sort
+    slice must not run short)."""
+    ts = cfg.tile_size
+    T = (-(-width // ts)) * (-(-height // ts))
+    total = (n * max_tiles
+             + sum(k * c for k, c in extension_tiers(cfg, n, width, height))
+             + T * ALIGN)
+    return min(_misaligned(pair_cap + T * ALIGN), (total // ALIGN) * ALIGN)
+
+
 def _bisect(sorted_arr, queries, rounds: int):
     """Vector lower-bound bisection: first index i with sorted_arr[i] >=
     query. ~20 gather rounds of tiny query vectors beat jnp.searchsorted's
@@ -82,10 +106,8 @@ def _bisect(sorted_arr, queries, rounds: int):
 
 def aligned_cap(cfg: RasterConfig, n: int, width: int, height: int) -> int:
     """Static size of the aligned pair array."""
-    ts = cfg.tile_size
-    T = (-(-width // ts)) * (-(-height // ts))
-    _, pair_cap = resolve_caps(cfg, n)
-    return pair_cap + T * ALIGN
+    max_tiles, pair_cap = resolve_caps(cfg, n)
+    return _cap_al(cfg, n, width, height, pair_cap, max_tiles)
 
 
 def _emission(xy, radius, visible, width, height, ts, max_tiles):
@@ -244,7 +266,7 @@ def pair_stats(xy, radius, visible, width: int, height: int,
     gx, gy, *_rest = geo = _counts_and_geometry(
         xy, radius, visible, width, height, cfg, max_tiles)
     m_tot, counts, n_trunc = geo[6], geo[7], geo[8]
-    cap_al = pair_cap + gx * gy * ALIGN
+    cap_al = _cap_al(cfg, N, width, height, pair_cap, max_tiles)
     asize = ((counts + ALIGN - 1) // ALIGN) * ALIGN
     astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(asize).astype(jnp.int32)])[:-1]
@@ -276,7 +298,7 @@ def build_pairs(xy, radius, visible, width: int, height: int,
     assert N < IDX_MASK, N
     assert T < (1 << (31 - IDX_BITS)), T
     max_tiles, pair_cap = resolve_caps(cfg, N, max_tiles, pair_cap)
-    cap_al = pair_cap + T * ALIGN
+    cap_al = _cap_al(cfg, N, width, height, pair_cap, max_tiles)
 
     (gx, gy, rminx, rminy, awc, m, m_tot, counts, n_trunc,
      geo) = _counts_and_geometry(xy, radius, visible, width, height, cfg,

@@ -236,11 +236,16 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 
 def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
                 gpair_hbm, fwd_ref, cot_ref, gzero_hbm,      # inputs
-                gout_hbm,                                    # [rows, PC] HBM
+                gout_hbm,                                    # [PC, 128] HBM
                 gbuf, wbuf, gsem, wsem, wcnt,                # scratch
                 *, ts, n_channels, rows, alpha_max, alpha_min, t_eps,
                 n_tiles):
-    del gzero_hbm  # aliased to gout_hbm; only here to init it with zeros
+    # gzero is aliased to gout purely to zero-init it: slabs past the last
+    # contributor are never written by the walk. (An in-kernel zero-fill
+    # loop was tried instead — the XLA zeros broadcast costs 0.37 ms/iter —
+    # but the resulting program compiled with a 2.2x SLOWER rank-sort
+    # gather downstream, a net loss; the alias form keeps the fast gather.)
+    del gzero_hbm
     t = pl.program_id(0)
     P = ts * ts
     OUTP = n_channels + 2
@@ -275,14 +280,14 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 
     def write_start(slot, j):
         return pltpu.make_async_copy(
-            wbuf.at[slot], gout_hbm.at[:, pl.ds(lo + j * CHUNK, CHUNK)],
+            wbuf.at[slot], gout_hbm.at[pl.ds(lo + j * CHUNK, CHUNK), :],
             wsem.at[slot])
 
     def write_waiter(slot):
         # same byte count as any grad-slab write; dst slice is irrelevant
         # for waiting on the semaphore
         return pltpu.make_async_copy(
-            wbuf.at[slot], gout_hbm.at[:, pl.ds(0, CHUNK)], wsem.at[slot])
+            wbuf.at[slot], gout_hbm.at[pl.ds(0, CHUNK), :], wsem.at[slot])
 
     # start from the last chunk that contains any contributor
     max_pos = jnp.max(ncontrib).astype(jnp.int32)
@@ -410,7 +415,13 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         def _():
             write_waiter(wslot).wait()
 
-        wbuf[wslot] = upd
+        # PAIR-major slab: the HBM grad buffer is [PC, 128] (attr lanes
+        # 0..rows, rest zero) so the rank-sort row gather downstream reads
+        # contiguous rows — XLA gathers from an attr-major buffer run ~5x
+        # slower (16 strided 4-B reads per pair). 128 lanes because Mosaic
+        # rejects DMA slabs whose lane dim is not a 128-multiple.
+        wbuf[wslot] = jnp.concatenate(
+            [upd.T, jnp.zeros((CHUNK, 128 - rows), jnp.float32)], axis=1)
         write_start(wslot, j).start()
         wcnt[0] = wi + 1
 
@@ -456,20 +467,45 @@ def _build_per_g(xy, conic, opacity, depth, colors, order_p):
     """DEPTH-SORTED per-Gaussian attribute table [rows, n+1] (column n = all
     zeros -> the inert padding sentinel). One N-sized take instead of a
     PC-sized gauss-index compose: the pair ranks then index this table
-    directly, and backward pair-grads reduce in the sorted domain."""
+    directly, and backward pair-grads reduce in the sorted domain.
+
+    Built as ONE stack + pad: a chain of row dynamic-update-slices into a
+    [rows, n] table measured ~2.3 ms/iter at n=100k (each row write is a
+    lane-strided pass over the whole table); the stack is a single fusion."""
     n = xy.shape[0]
     c = colors.shape[-1]
     rows = _rows_for(c)
-    per_g = jnp.zeros((rows, n + 1), jnp.float32)
-    per_g = per_g.at[R_X, :n].set(xy[:, 0])
-    per_g = per_g.at[R_Y, :n].set(xy[:, 1])
-    per_g = per_g.at[R_CA, :n].set(conic[:, 0])
-    per_g = per_g.at[R_CB, :n].set(conic[:, 1])
-    per_g = per_g.at[R_CC, :n].set(conic[:, 2])
-    per_g = per_g.at[R_OP, :n].set(opacity)
-    per_g = per_g.at[R_DEPTH, :n].set(depth)
-    per_g = per_g.at[N_FIXED:N_FIXED + c, :n].set(colors.T)
-    return jnp.take(per_g, order_p, axis=1)                 # [rows, n+1]
+    chans = [xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
+             opacity, depth]                       # R_X..R_DEPTH order
+    chans += [colors[:, i] for i in range(c)]      # N_FIXED..
+    if len(chans) < rows:
+        z = jnp.zeros((n,), jnp.float32)
+        chans += [z] * (rows - len(chans))
+    per_g = jnp.stack(chans, axis=0)               # [rows, n]
+    per_g = jnp.pad(per_g, ((0, 0), (0, 1)))       # sentinel column n
+    return jnp.take(per_g, order_p, axis=1)        # [rows, n+1]
+
+
+def _compact_copy_kernel(x_ref, o_ref):
+    o_ref[...] = x_ref[...]
+
+
+def _force_compact(x, interpret):
+    """Identity pass-through pallas call: pins ``x`` [rows, PC] to the
+    canonical compact (rows-sublane, PC-lane) layout. XLA inserts the
+    relayout copy in front when the producer (e.g. a transposed row gather)
+    left the buffer PAIR-major (16 lanes padded to 128 -> 8x bytes)."""
+    rows, PC = x.shape
+    blk = 128 * 64
+    grid = -(-PC // blk)
+    return pl.pallas_call(
+        _compact_copy_kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((rows, blk), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((rows, blk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((rows, PC), x.dtype),
+        interpret=interpret,
+    )(x)
 
 
 def _gather_pairs(per_g_sorted, rank_idx):
@@ -528,7 +564,13 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     rows = _rows_for(C)
     T, origins = _origins(width, height, ts)
 
-    pr = pairs_mod.build_pairs(xy[order], radius[order], visible[order],
+    # one [N,4] row gather for the rect quantities: three separate 1-D
+    # [order] gathers measured ~1.7 ms/iter at 100k (XLA 1-D gathers run at
+    # ~150M elem/s) while a 4-wide row gather is ~0.15 ms
+    rect = jnp.take(jnp.stack([xy[:, 0], xy[:, 1], radius,
+                               visible.astype(jnp.float32)], axis=-1),
+                    order, axis=0)
+    pr = pairs_mod.build_pairs(rect[:, :2], rect[:, 2], rect[:, 3] > 0.5,
                                width, height, cfg)
     order_p = jnp.concatenate([order.astype(jnp.int32),
                                jnp.full((1,), n, jnp.int32)])
@@ -567,7 +609,9 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
 
 def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
                     rows, cfg, interpret):
-    """Invoke the backward kernel over T tiles -> grad_pairs [rows, PC]."""
+    """Invoke the backward kernel over T tiles -> grad_pairs [PC, 128]
+    (PAIR-major, lane-padded so the rank-sort row gather reads contiguous
+    rows; attrs live in lanes 0..rows)."""
     PC = gpair.shape[1]
     kernel = functools.partial(_bwd_kernel, ts=cfg.tile_size, n_channels=C,
                                rows=rows,
@@ -588,16 +632,16 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
-            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
+            pltpu.VMEM((2, CHUNK, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
-    gzero = jnp.zeros((rows, PC), jnp.float32)
+    gzero = jnp.zeros((PC, 128), jnp.float32)
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rows, PC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((PC, 128), jnp.float32),
         input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
@@ -621,7 +665,11 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
         D = mesh.shape[axis]
         pad = (-T) % D
         Tl = (T + pad) // D
-        starts = jnp.concatenate([pr["starts"], jnp.zeros((pad,), jnp.int32)])
+        PCcap = gpair.shape[1]
+        # pad tiles sit at the END of the pair array (start = cap, count 0)
+        # so each device's owned position range stays contiguous
+        starts = jnp.concatenate([pr["starts"],
+                                  jnp.full((pad,), PCcap, jnp.int32)])
         counts = jnp.concatenate([pr["counts"], jnp.zeros((pad,), jnp.int32)])
         orig = np.concatenate([origins.reshape(T, 2),
                                np.zeros((pad, 2), np.int32)])
@@ -633,7 +681,8 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
         def per_dev(s, c, o, g, f, ct):
             gp = _run_bwd_kernel(s, c, o.reshape(-1), g, f, ct, Tl, P, C,
                                  rows, cfg, interpret)
-            # tiles are disjoint across devices; sum the pair-grad shards
+            # tiles are disjoint across devices and every device's buffer is
+            # zero-initialized via the gzero alias; sum the pair-grad shards
             return jax.lax.psum(gp, axis)
 
         grad_pairs = shard_map(
@@ -654,19 +703,21 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
     # the trainer enforces by auto-escalating the binning caps); when pairs
     # were dropped, affected ranks conservatively miss part of their
     # gradient for that step and the run-end mask keeps sums sound.
-    PC = grad_pairs.shape[1]
-    rows = grad_pairs.shape[0]
+    PC = grad_pairs.shape[0]
+    rows = _rows_for(C)
     ids = pr["pair_idx"]
     si, perm = jax.lax.sort_key_val(ids, jnp.arange(PC, dtype=jnp.int32))
-    # materialize the transpose ROW-MAJOR before gathering: a bitcast
-    # transpose leaves [PC, rows] physically column-major, and the row
-    # gather through that layout measured ~5x slower (3.6 ms vs 0.7)
-    src = jax.lax.optimization_barrier(
-        grad_pairs.T.reshape(PC * rows).reshape(PC, rows))
-    gperm = jnp.take(src, perm, axis=0)                       # [PC, rows]
-    gperm = jax.lax.optimization_barrier(gperm)
-    # attribute-major for the scan: every step is a lane-axis roll
-    x = gperm.T                                               # [rows, PC]
+    # grad_pairs is PAIR-major straight from the kernel ([PC, 128], attrs
+    # in lanes 0..rows): the gather reads contiguous rows ({1,0} operand
+    # AND output — measured ~5x faster than the attr-major-source form XLA
+    # lowers to strided element reads)
+    gperm = jnp.take(grad_pairs, perm, axis=0)[:, :rows]      # [PC, rows]
+    # attribute-major for the scan: every step is a lane-axis roll. The
+    # pass-through kernel pins the scan operand to the COMPACT canonical
+    # [rows, PC] layout: left to itself XLA may run the whole scan chain on
+    # the gather's PAIR-major layout, whose (8,128) tiling pads 16 -> 128
+    # lanes (8x the physical bytes on every scan step).
+    x = _force_compact(gperm.T, interpret)                    # [rows, PC]
     pos = jnp.arange(PC, dtype=jnp.int32)
     k = 1
     # max run length of one rank = the giant-splat extension tile cap
@@ -704,12 +755,14 @@ def blend_pairs(xy, conic, opacity, depth, colors, radius, visible_f, order_f,
     cotangents. With ``mesh``, the tile axis shards across the named mesh
     axis (forward tiles sharded; backward pair-grad shards psummed).
 
-    Returns raw accumulators [T, P, C+3]: C channels, expected depth,
-    alpha (= sum of blend weights), n_contrib (backward bookkeeping)."""
-    out, _, _ = _forward_impl(xy, conic, opacity, depth, colors, radius,
-                              visible_f > 0.5, order_f.astype(jnp.int32),
-                              width, height, cfg, interpret, mesh, axis)
-    return out
+    Returns (acc [T, P, C+3], n_dropped, n_trunc): C channels, expected
+    depth, alpha (= sum of blend weights), n_contrib (backward bookkeeping);
+    the drop counters come free from the pair build (a separate pair_stats
+    call re-runs the whole corner-histogram pipeline, ~1 ms/iter)."""
+    out, pr, _ = _forward_impl(xy, conic, opacity, depth, colors, radius,
+                               visible_f > 0.5, order_f.astype(jnp.int32),
+                               width, height, cfg, interpret, mesh, axis)
+    return out, pr["n_dropped"], pr["n_trunc"]
 
 
 def _blend_fwd_rule(xy, conic, opacity, depth, colors, radius, visible_f,
@@ -719,12 +772,14 @@ def _blend_fwd_rule(xy, conic, opacity, depth, colors, radius, visible_f,
                                    visible_f > 0.5,
                                    order_f.astype(jnp.int32), width, height,
                                    cfg, interpret, mesh, axis)
-    return out, (pr, gpair, out, xy.shape[0], colors.shape[-1], radius,
-                 visible_f, order_f)
+    return ((out, pr["n_dropped"], pr["n_trunc"]),
+            (pr, gpair, out, xy.shape[0], colors.shape[-1], radius,
+             visible_f, order_f))
 
 
 def _blend_bwd_rule(width, height, cfg, interpret, mesh, axis, res, cot):
     pr, gpair, fwd_out, n, C, radius, visible_f, order_f = res
+    cot = cot[0]                 # drop n_dropped/n_trunc (int) cotangents
     cot_main = cot[..., :C + 2]                  # ignore n_contrib cotangent
     dxy, dconic, dop, ddepth, dcolors = _backward_impl(
         pr, gpair, fwd_out, cot_main, order_f.astype(jnp.int32), width,

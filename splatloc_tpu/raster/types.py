@@ -33,8 +33,11 @@ class RasterConfig:
     # Pair-binning capacities (Pallas path): tiles kept per Gaussian and the
     # global pair budget as a multiple of N. Truncation is surfaced via
     # RenderOutput.n_dropped so it can never silently under-render.
-    max_tiles: int = struct.field(pytree_node=False, default=20)
-    pair_cap_factor: int = struct.field(pytree_node=False, default=4)
+    # Tighter defaults are a throughput lever (every sort/gather in the
+    # binning glue scales with the key/pair budget); real scenes that
+    # exceed them surface drops and the trainer auto-escalates.
+    max_tiles: int = struct.field(pytree_node=False, default=12)
+    pair_cap_factor: int = struct.field(pytree_node=False, default=3)
     # Giant-splat extension (Pallas path): the largest-area Gaussians (by
     # one descending area sort) additionally emit tiles beyond max_tiles in
     # two static tiers — big_k full-grid slots (big_tiles None = whole tile

@@ -109,8 +109,8 @@ class MappingConfig:
     # truncation grows the giant-splat extension (big_k), global-budget
     # overflow grows pair_cap_factor — each cap against its own cause, so
     # pair memory never inflates for the wrong reason
-    max_tiles: int = 20
-    pair_cap_factor: int = 4
+    max_tiles: int = 12
+    pair_cap_factor: int = 3
     big_k: int = 256
     mid_k: int = 4096
     # insertion budgets

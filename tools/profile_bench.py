@@ -91,10 +91,15 @@ def main():
             src_line = a.get("source_info") or ""
             if info or src_line:
                 details[e["name"]] = (str(info)[:160], str(src_line)[:120])
+    # drop whole-module rows (the jit_* region and per-core digit-named
+    # duplicates) so the table holds real ops and `total` ~= device time
+    for k in [k for k in durs if k.isdigit() or k.startswith("jit_")]:
+        durs.pop(k)
+        counts.pop(k, None)
     total = sum(durs.values())
     print(f"\n== device ops over {iters} iters "
           f"(total {total / 1e3 / iters:.2f} ms/iter)")
-    for name, d in durs.most_common(40):
+    for name, d in durs.most_common(70):
         det = details.get(name)
         extra = f"\n            {det[0]}  @{det[1]}" if det else ""
         print(f"{d / 1e3 / iters:9.3f} ms/iter  x{counts[name] // iters:4d}  "
