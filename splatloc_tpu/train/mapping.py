@@ -225,7 +225,18 @@ def make_mapping_step(cfg: MappingConfig):
                 l = l + losses.marker_loss(out.image[..., 3], gt_score)
                 return l, (out.radii, out.n_dropped, out.n_trunc)
 
-            ls, (radii, ndrop, ntrunc) = jax.vmap(one)(frames, offsets)
+            # python-unrolled over views, NOT vmap and NOT lax.map: batching
+            # the rasterizer glue turns its row gathers into batched gathers
+            # with pessimal layouts (pack gather measured 43 ms/step vmapped
+            # vs 0.8 ms/view sequential at 262k capacity), and a lax.map
+            # while-body starves the gathers of scoped VMEM (6.9 vs 1.7
+            # ms/view); unrolling also lets XLA overlap work across views
+            outs = [one(jax.tree.map(lambda x, v=v: x[v], frames),
+                        offsets[v]) for v in range(V)]
+            ls = jnp.stack([o[0] for o in outs])
+            radii = jnp.stack([o[1][0] for o in outs])
+            ndrop = jnp.stack([o[1][1] for o in outs])
+            ntrunc = jnp.stack([o[1][2] for o in outs])
             loss = jnp.sum(ls)
             iso = losses.isotropic_loss(jnp.exp(params["scaling"]),
                                         params["marker"][:, 0], scene.alive,
@@ -286,12 +297,21 @@ def make_refinement_step(cfg: MappingConfig):
     return step_fn
 
 
+def _miscap(capacity: int) -> int:
+    """Nudge a Gaussian capacity off exact 1024-multiples: every
+    capacity-sized row gather in the step (rect pack, grad unsort, run-end
+    extraction) hits XLA:TPU's ~2.6x slower gather path when the gathered
+    row count is an exact 1024 multiple (raster/pairs.py:_misaligned)."""
+    return capacity + 640 if capacity % 1024 == 0 else capacity
+
+
 class MappingTrainer:
     """Host-side orchestrator mirroring SplatLoc.do_recon control flow."""
 
     def __init__(self, cfg: MappingConfig, capacity: int = 2 ** 17,
                  frame_capacity: int = 512, seed: int = 0):
         self.cfg = cfg
+        capacity = _miscap(capacity)
         self.scene = GaussianScene.empty(capacity, cfg.sh_degree)
         self.opt_state = optim.init(self.scene.params())
         self.stats = densify.DensifyStats.zeros(capacity)
@@ -375,7 +395,11 @@ class MappingTrainer:
         cap = self.scene.capacity
         alive = int(self.scene.num_alive)
         if alive > 0.75 * cap:
-            new_cap = cap * 2
+            # grow 1.5x, not 2x: every sort/gather in the step scales with
+            # CAPACITY (dead slots emit sentinel keys), so tighter tracking
+            # of the alive count buys ~25% step time at one extra recompile
+            # per two doublings
+            new_cap = _miscap(-(-int(cap * 1.5) // 4096) * 4096)
             pad = new_cap - cap
 
             def grow(x):
