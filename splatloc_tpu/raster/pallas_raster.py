@@ -118,6 +118,32 @@ def _tri_mask(P_rows, pred):
     return pred(ri, ci).astype(jnp.float32)
 
 
+def _dot_f32(a, b, dims, exact_a=False, exact_b=False):
+    """MXU matmul with (near-)f32 operand precision via manual bf16 limb
+    splitting. Mosaic's default-precision dot rounds f32 operands to bf16
+    (~0.4% relative) — the compiled kernels diverged from the interpret-mode
+    oracle by up to 0.73 in image value. Precision.HIGHEST fixes the math
+    but sends the Mosaic compile into the tens of minutes, so split
+    x = hi + lo with hi = bf16(x): every emitted default-precision dot's
+    implicit bf16 rounding is then LOSSLESS for hi and first-order small
+    for lo -> ~2^-16 relative operand error at 2-3 plain dots. exact_a/b
+    mark operands already exactly bf16-representable (pixel monomials:
+    small integers; triangular 0/1 masks) that need no splitting."""
+    d = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                          preferred_element_type=jnp.float32)
+    if exact_a and exact_b:
+        return d(a, b)
+    if exact_a:
+        b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+        return d(a, b_hi) + d(a, b - b_hi)
+    if exact_b:
+        a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+        return d(a_hi, b) + d(a - a_hi, b)
+    a_hi = a.astype(jnp.bfloat16).astype(jnp.float32)
+    b_hi = b.astype(jnp.bfloat16).astype(jnp.float32)
+    return d(a_hi, b_hi) + d(a - a_hi, b_hi) + d(a_hi, b - b_hi)
+
+
 # --------------------------------------------------------------------------
 # forward kernel
 # --------------------------------------------------------------------------
@@ -173,9 +199,8 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         # power as ONE MXU contraction with per-pair quadratic coefficients
         # in tile-local pixel coordinates (see _power_coeffs)
         c8, _ = _power_coeffs(g, oxf, oyf, rows)
-        power = jax.lax.dot_general(
-            mpix, c8, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [P, CHUNK]
+        power = _dot_f32(mpix, c8, (((1,), (0,)), ((), ())),
+                         exact_a=True)                       # [P, CHUNK]
         alpha = jnp.minimum(op * jnp.exp(jnp.minimum(power, 0.0)), alpha_max)
         # padding pairs have all-zero attrs -> alpha 0 -> dropped here
         keep = (power <= _POWER_KEEP_EPS) & (alpha >= alpha_min)
@@ -317,9 +342,8 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 
         # power via the same MXU contraction as the forward kernel
         c8, (ex, ey, ca, cb, cc) = _power_coeffs(g, oxf, oyf, rows)
-        power = jax.lax.dot_general(
-            mpix, c8, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [P, CHUNK]
+        power = _dot_f32(mpix, c8, (((1,), (0,)), ((), ())),
+                         exact_a=True)                       # [P, CHUNK]
         e = jnp.exp(jnp.minimum(power, 0.0))
         raw = op * e
         alpha = jnp.minimum(raw, alpha_max)
@@ -362,9 +386,8 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         # grads w.r.t. the quadratic coefficients: ONE MXU contraction over
         # pixels, then the (cheap, [1, CHUNK]) linear chain back to
         # xy/conic — replaces five full [P, CHUNK] product-reduce passes
-        dc8 = jax.lax.dot_general(
-            mpix, dpower, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [8, CHUNK]
+        dc8 = _dot_f32(mpix, dpower, (((0,), (0,)), ((), ())),
+                       exact_a=True)                         # [8, CHUNK]
         d0 = _row(dc8, 0, 8, CHUNK)
         d1 = _row(dc8, 1, 8, CHUNK)
         d2 = _row(dc8, 2, 8, CHUNK)

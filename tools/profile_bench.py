@@ -96,6 +96,20 @@ def main():
     for k in [k for k in durs if k.isdigit() or k.startswith("jit_")]:
         durs.pop(k)
         counts.pop(k, None)
+    # gap analysis: sum of idle time between consecutive device ops (stalls
+    # the per-op table cannot show: scalar-prefetch copy waits, scheduling)
+    spans = sorted((e["ts"], e["ts"] + e.get("dur", 0)) for e in events
+                   if e.get("ph") == "X" and e.get("pid") in dev_pids
+                   and not (e["name"].isdigit() or e["name"].startswith("jit_")))
+    gap_tot, biggest = 0.0, []
+    for (s0, e0), (s1, _) in zip(spans, spans[1:]):
+        g = s1 - e0
+        if g > 0:
+            gap_tot += g
+            biggest.append((g, e0))
+    biggest.sort(reverse=True)
+    print(f"\n== device idle between ops: {gap_tot / 1e3 / iters:.2f} ms/iter"
+          f"; top gaps (us): {[int(g) for g, _ in biggest[:8]]}")
     total = sum(durs.values())
     print(f"\n== device ops over {iters} iters "
           f"(total {total / 1e3 / iters:.2f} ms/iter)")

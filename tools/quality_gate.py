@@ -70,7 +70,9 @@ def orbit_pose(i: int, n: int, jitter=(0.0, 0.0)):
 
 def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
          n_gauss_gt: int = 60_000, seed: int = 0, W: int = 640, H: int = 480,
-         capacity: int = 2 ** 17):
+         capacity: int = 205_440):  # pre-sized for the ~150k-alive end
+         # state: every capacity growth recompiles the 5-view step (~2 min
+         # on the remote-compile tunnel), dominating the gate's wall clock
     from splatloc_tpu.core.camera import Camera
     from splatloc_tpu.raster import rasterize, RasterConfig, render
     from splatloc_tpu.train.mapping import MappingConfig, MappingTrainer
@@ -134,7 +136,13 @@ def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
         img, dep = render_gt(jnp.asarray(w2c))
         evals.append((np.asarray(img)[..., :3], score_map(w2c), w2c))
 
-    cfg = MappingConfig(width=W, height=H, fx=fx, fy=fy, cx=cx, cy=cy)
+    # kp_budget ~ a real SuperPoint per-frame detection count: the blobby
+    # score maps put ~25 px over the key-primitive threshold per landmark,
+    # and every kp-inserted point is prune-protected — the default 16384
+    # budget would protect ~590k points across 36 keyframes and densify
+    # would run away (observed: 639k alive by iter 840)
+    cfg = MappingConfig(width=W, height=H, fx=fx, fy=fy, cx=cx, cy=cy,
+                        kp_budget=2048)
     trainer = MappingTrainer(cfg, capacity=capacity,
                              frame_capacity=max(n_frames, 8), seed=seed)
 
@@ -178,12 +186,15 @@ def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
         ssims.append(float(ssim(jnp.asarray(img), jnp.asarray(img_gt))))
         # kp fidelity: the composited kp channel is a LOGIT (marker_loss is
         # BCE on sigmoid of it) — compare in probability space: mean
-        # sigmoid at gt landmark-peak pixels vs everywhere else
+        # sigmoid at gt landmark-peak pixels vs TRUE background (blob
+        # fringe pixels are legitimately elevated — the BCE target there is
+        # 0.1..0.5 — so they belong to neither class)
         prob = 1.0 / (1.0 + np.exp(-np.clip(kp, -30, 30)))
         at = sc_gt > 0.8
-        if at.any():
+        bg = sc_gt < 0.05
+        if at.any() and bg.any():
             contrasts.append(
-                float(prob[at].mean() / max(prob[~at].mean(), 1e-3)))
+                float(prob[at].mean() / max(prob[bg].mean(), 1e-3)))
 
     res = {
         "psnr": round(float(np.mean(psnrs)), 2),

