@@ -189,3 +189,21 @@ def test_truncation_reported_when_extension_exhausted(rng):
                                  W, H, cfg)
     assert int(nt) > 0
     assert int(nd) >= int(nt)
+
+
+def test_render_output_drop_counters_match_pair_stats(rng):
+    """rasterize's n_dropped/n_trunc come from the pair build inside
+    blend_pairs (round 2: the separate pair_stats call was removed from the
+    hot path) — they must still agree with pair_stats exactly."""
+    means, scales, quats, opac, colors = make_scene(rng, 96)
+    means = means.at[0].set(jnp.array([0.0, 0.0, 1.0]))
+    scales = scales.at[0].set(jnp.array([1.2, 1.2, 0.01]))
+    cam = make_camera()
+    cfg = CFG_P.replace(max_tiles=4, big_k=0)    # force some truncation
+    out = rasterize(means, scales, quats, opac, colors, cam, cfg)
+    proj = project.project_gaussians(means, scales, quats, cam, cfg)
+    _, nd, nt = pairs.pair_stats(proj.xy, proj.radius, proj.visible,
+                                 W, H, cfg)
+    assert int(out.n_dropped) == int(nd)
+    assert int(out.n_trunc) == int(nt)
+    assert int(out.n_trunc) > 0
