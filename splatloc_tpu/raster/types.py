@@ -45,10 +45,14 @@ class RasterConfig:
     # (fresh RGB-D insertions in sparse regions produce thousands of
     # 20-130-tile splats) — so real scenes never truncate while max_tiles
     # stays small for the 99.9% of Gaussians that fit it. big_k=0 disables.
+    # Tier caps are also lean by default (they emit K*cap sort keys whether
+    # used or not; the big tier at the full grid alone would be ~14% of the
+    # key population) — the trainer escalates big_tiles too when truncation
+    # persists (mapping.py:_check_pair_truncation).
     big_k: int = struct.field(pytree_node=False, default=256)
-    big_tiles: int | None = struct.field(pytree_node=False, default=None)
+    big_tiles: int | None = struct.field(pytree_node=False, default=192)
     mid_k: int = struct.field(pytree_node=False, default=4096)
-    mid_tiles: int = struct.field(pytree_node=False, default=128)
+    mid_tiles: int = struct.field(pytree_node=False, default=48)
 
 
 @struct.dataclass

@@ -112,7 +112,9 @@ class MappingConfig:
     max_tiles: int = 12
     pair_cap_factor: int = 3
     big_k: int = 256
+    big_tiles: int | None = 192
     mid_k: int = 4096
+    mid_tiles: int = 48
     # insertion budgets
     kp_budget: int = 16384
     nonkp_budget: int = 8192
@@ -131,7 +133,8 @@ class MappingConfig:
                             use_pallas=use_pallas,
                             max_tiles=self.max_tiles,
                             pair_cap_factor=self.pair_cap_factor,
-                            big_k=self.big_k, mid_k=self.mid_k)
+                            big_k=self.big_k, big_tiles=self.big_tiles,
+                            mid_k=self.mid_k, mid_tiles=self.mid_tiles)
 
     def opt_lr_dict(self) -> dict:
         return {
@@ -375,9 +378,18 @@ class MappingTrainer:
         changes = {}
         if trunc > 0:
             # some Gaussian overflowed the giant-splat extension tiers (or
-            # didn't get an extension slot): grow both tier pools
+            # didn't get an extension slot): grow both tier pools AND the
+            # tier tile caps — a splat larger than big_tiles stays truncated
+            # no matter how many slots exist
+            T = ((-(-old.width // old.tile_size))
+                 * (-(-old.height // old.tile_size)))
             changes["big_k"] = max(old.big_k * 2, 256)
             changes["mid_k"] = max(old.mid_k * 2, 4096)
+            if old.big_tiles is not None:
+                bt = old.big_tiles * 2
+                changes["big_tiles"] = None if bt >= T else bt
+            changes["mid_tiles"] = min(old.mid_tiles * 2,
+                                       old.big_tiles or T)
         if dropped > trunc:
             # global pair budget overflowed: grow it (and the per-tile list
             # capacity of the XLA fallback path, whose drops count here too)
