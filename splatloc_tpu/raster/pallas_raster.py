@@ -531,6 +531,71 @@ def _force_compact(x, interpret):
     )(x)
 
 
+# Segmented-scan implementation for the backward per-Gaussian reduction:
+# "pallas" = one-pass kernel (single HBM read+write of the 35 MB grad
+# matrix); "xla" = log2(kmax) Hillis-Steele roll passes (~0.7 ms more at
+# 550k pairs). Module-level so it can be flipped without a code edit;
+# stays "xla" until the pallas variant is Mosaic-validated on a real chip.
+SEGSCAN_MODE = "xla"
+
+
+def _segscan_kernel(x_ref, si_ref, o_ref, carry, prev_id, *, rows, blk):
+    """Inclusive SEGMENTED prefix sum along lanes over a sequential grid.
+
+    x [rows, blk] f32 block of a [rows, PC] matrix whose lanes are grouped
+    into ascending-id runs (si [1, blk] i32); a VMEM carry chains the run
+    that spans the block boundary, so runs of ANY length work (the XLA
+    fallback needs log2(max run) passes over HBM)."""
+    b = pl.program_id(0)
+    x = x_ref[...]
+    s = si_ref[...]                                          # [1, blk] i32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+    k = 1
+    while k < blk:
+        same = (pltpu.roll(s, k, 1) == s) & (lane >= k)
+        x = jnp.where(same, x + pltpu.roll(x, k, 1), x)
+        k *= 2
+
+    @pl.when(b == 0)
+    def _():
+        prev_id[0] = jnp.int32(-1)
+        carry[...] = jnp.zeros_like(carry)
+
+    # chain the run continuing from the previous block (ids ascend, so its
+    # lanes are a prefix of this block)
+    cont = (s == prev_id[0]).astype(jnp.float32)             # [1, blk]
+    cv = jnp.sum(jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1) == 0,
+        carry[...], 0.0), axis=1, keepdims=True)             # [rows, 1]
+    x = x + cont * cv
+    o_ref[...] = x
+
+    ylast = jnp.sum(jnp.where(lane == blk - 1, x, 0.0), axis=1,
+                    keepdims=True)                           # [rows, 1]
+    carry[...] = jnp.broadcast_to(ylast, (rows, 128))
+    prev_id[0] = jnp.sum(jnp.where(lane == blk - 1, s, 0))
+
+
+def _segscan(x, si, interpret):
+    """x [rows, PC] compact, si [PC] ascending run ids -> inclusive
+    segmented prefix sums, via ONE pallas pass (SEGSCAN_MODE)."""
+    rows, PC = x.shape
+    blk = 128 * 128
+    grid = -(-PC // blk)
+    kernel = functools.partial(_segscan_kernel, rows=rows, blk=blk)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((rows, blk), lambda i: (0, i)),
+                  pl.BlockSpec((1, blk), lambda i: (0, i))],
+        out_specs=pl.BlockSpec((rows, blk), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((rows, PC), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((rows, 128), jnp.float32),
+                        pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(x, si[None])
+
+
 def _gather_pairs(per_g_sorted, rank_idx):
     """The pack gather: [rows, n+1] table -> [rows, PC] per-pair data."""
     if PACK_MODE == "cols":
@@ -741,14 +806,17 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
     # the gather's PAIR-major layout, whose (8,128) tiling pads 16 -> 128
     # lanes (8x the physical bytes on every scan step).
     x = _force_compact(gperm.T, interpret)                    # [rows, PC]
-    pos = jnp.arange(PC, dtype=jnp.int32)
-    k = 1
-    # max run length of one rank = the giant-splat extension tile cap
-    kmax = pairs_mod.big_tiles_for(cfg, width, height)
-    while k < kmax:
-        same = (jnp.roll(si, k) == si) & (pos >= k)
-        x = jnp.where(same[None, :], x + jnp.roll(x, k, axis=1), x)
-        k *= 2
+    if SEGSCAN_MODE == "pallas":
+        x = _segscan(x, si, interpret)
+    else:
+        pos = jnp.arange(PC, dtype=jnp.int32)
+        k = 1
+        # max run length of one rank = the giant-splat extension tile cap
+        kmax = pairs_mod.big_tiles_for(cfg, width, height)
+        while k < kmax:
+            same = (jnp.roll(si, k) == si) & (pos >= k)
+            x = jnp.where(same[None, :], x + jnp.roll(x, k, axis=1), x)
+            k *= 2
     # back to row-major with the sorted rank ids as one more attribute so
     # the run-end extraction is a single row gather
     xr = jax.lax.optimization_barrier(

@@ -207,3 +207,50 @@ def test_render_output_drop_counters_match_pair_stats(rng):
     assert int(out.n_dropped) == int(nd)
     assert int(out.n_trunc) == int(nt)
     assert int(out.n_trunc) > 0
+
+
+def test_pallas_segmented_scan_matches_xla():
+    """The one-pass pallas segmented scan (backward reduction) must equal
+    the Hillis-Steele XLA fallback, including runs that span block
+    boundaries and runs longer than any roll distance."""
+    from splatloc_tpu.raster import pallas_raster as pr
+    r = np.random.default_rng(0)
+    PC, rows = 128 * 128 * 2 + 640, 16   # 2 full blocks + a partial tail
+    # ascending run ids with wildly varying run lengths (some > 16384)
+    lengths = np.concatenate([r.integers(1, 40, 600), [20000, 9000],
+                              r.integers(1, 7, 800)])
+    ids = np.repeat(np.arange(len(lengths)), lengths)[:PC]
+    ids = np.pad(ids, (0, max(PC - len(ids), 0)), constant_values=ids[-1])
+    x = r.standard_normal((rows, PC)).astype(np.float32)
+    si = jnp.asarray(ids.astype(np.int32))
+    xj = jnp.asarray(x)
+    y_p = np.asarray(jax.jit(
+        lambda a, s: pr._segscan(a, s, interpret=True))(xj, si))
+    # XLA reference: full-length Hillis-Steele
+    pos = jnp.arange(PC, dtype=jnp.int32)
+    y = xj
+    k = 1
+    while k < PC:
+        same = (jnp.roll(si, k) == si) & (pos >= k)
+        y = jnp.where(same[None, :], y + jnp.roll(y, k, axis=1), y)
+        k *= 2
+    np.testing.assert_allclose(y_p, np.asarray(y), atol=1e-4, rtol=1e-5)
+
+
+def test_gradient_parity_with_pallas_segscan(rng, monkeypatch):
+    """Full backward with the pallas segmented scan swapped in must be
+    BIT-IDENTICAL to the XLA Hillis-Steele fallback (same summation tree)."""
+    from splatloc_tpu.raster import pallas_raster as pr
+    sc = make_scene(rng, 200)
+    cam = make_camera()
+
+    def loss(args):
+        out = rasterize(*args, cam, CFG_P)
+        return jnp.sum(out.image ** 2) + jnp.sum(out.depth)
+
+    monkeypatch.setattr(pr, "SEGSCAN_MODE", "xla")
+    g_ref = jax.grad(loss)(sc)
+    monkeypatch.setattr(pr, "SEGSCAN_MODE", "pallas")
+    g_p = jax.grad(loss)(sc)
+    for a, b in zip(g_p, g_ref):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
