@@ -134,9 +134,11 @@ class EvalSession:
                   f"{np.median(r_r):.3f} deg")
             print(f"  Match     median: {np.median(m_t)*100:.2f} cm "
                   f"{np.median(m_r):.3f} deg")
-            metrics.write_pose_report(os.path.join(self.save_dir, file_name),
-                                      r_t, r_r, m_t, m_r,
-                                      n_solved=n_solved, n_failed=n_failed)
+            from splatloc_tpu.dist import multihost
+            if multihost.is_primary():
+                metrics.write_pose_report(
+                    os.path.join(self.save_dir, file_name), r_t, r_r, m_t,
+                    m_r, n_solved=n_solved, n_failed=n_failed)
         if save_pose and m_t:
             # reference save_poses/save_errors npy dumps (test.py:437-461)
             d = os.path.join(self.save_dir, "save_pose")
@@ -156,9 +158,17 @@ class EvalSession:
         ds = self.test_dataset
         cam0 = Camera.create(np.eye(4, dtype=np.float32), ds.fx, ds.fy,
                              ds.cx, ds.cy, ds.width, ds.height)
-        lp = metrics.lpips_fn(metrics.load_lpips_params(
+        lp_params = metrics.load_lpips_params(
             os.path.join(os.path.dirname(__file__), "..", "..", "weights",
-                         "lpips_alex.npz")))
+                         "lpips_alex.npz"))
+        if lp_params is None:
+            # fail loudly, not with NaN rows in eval_rendering.txt: without
+            # converted weights the LPIPS column is omitted with a marker
+            import warnings
+            warnings.warn("no converted LPIPS weights (weights/"
+                          "lpips_alex.npz) — eval_rendering.txt will mark "
+                          "mean_lpips UNAVAILABLE (tools/convert_lpips.py)")
+        lp = metrics.lpips_fn(lp_params)
 
         # one jitted render+metrics program, reused across frames
         @jax.jit
@@ -177,14 +187,18 @@ class EvalSession:
             p, s_, img = frame_metrics(self.scene, jnp.asarray(f["w2c"]), gt)
             psnrs.append(float(p))
             ssims.append(float(s_))
-            lpipss.append(float(lp(img, gt)))
+            if lp_params is not None:
+                lpipss.append(float(lp(img, gt)))
         out = {"mean_psnr": float(np.mean(psnrs)),
                "mean_ssim": float(np.mean(ssims)),
-               "mean_lpips": float(np.mean(lpipss))}
-        metrics.write_rendering_report(
-            os.path.join(self.save_dir, "eval_rendering.txt"), **{
-                "mean_psnr": out["mean_psnr"], "mean_ssim": out["mean_ssim"],
-                "mean_lpips": out["mean_lpips"]})
+               "mean_lpips": (float(np.mean(lpipss)) if lpipss else None)}
+        from splatloc_tpu.dist import multihost
+        if multihost.is_primary():
+            metrics.write_rendering_report(
+                os.path.join(self.save_dir, "eval_rendering.txt"), **{
+                    "mean_psnr": out["mean_psnr"],
+                    "mean_ssim": out["mean_ssim"],
+                    "mean_lpips": out["mean_lpips"]})
         print(out)
         return out
 

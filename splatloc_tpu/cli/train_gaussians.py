@@ -19,15 +19,24 @@ from splatloc_tpu.train.mapping import MappingConfig, MappingTrainer
 
 def run(config: dict, save_dir: str | None = None,
         capacity: int = 2 ** 19, max_frames: int | None = None,
-        refinement_iters: int = 26000, log_every: int = 20) -> str:
+        refinement_iters: int = 26000, log_every: int = 20,
+        trace_dir: str | None = None, trace_kf: int = 0) -> str:
     from splatloc_tpu.data import load_dataset
+    from splatloc_tpu.dist import multihost
+    from splatloc_tpu.utils.profiling import MetricsLogger, trace
 
+    multihost.initialize()   # no-op unless the SPLATLOC_* env contract set
     dataset = load_dataset(config, train=True)
     mcfg = MappingConfig.from_config(config)
     n_frames = len(dataset) if max_frames is None else min(len(dataset),
                                                            max_frames)
     trainer = MappingTrainer(mcfg, capacity=capacity,
                              frame_capacity=n_frames + 1)
+    # structured jsonl metrics stream next to the checkpoint (SURVEY.md §5
+    # observability; the reference only has rich-styled prints); host-side
+    # artifacts are process-0-only under multi-host
+    mlog = (MetricsLogger(os.path.join(save_dir, "metrics.jsonl"))
+            if save_dir and multihost.is_primary() else None)
 
     kf_interval = config["Training"]["kf_interval"]
     iters_per_kf = config["Training"]["mapping_itr_num"]
@@ -41,7 +50,20 @@ def run(config: dict, save_dir: str | None = None,
                                    np.float32))
         trainer.add_keyframe(frame["rgb"], frame["depth"],
                              np.asarray(score, np.float32), frame["w2c"])
-        loss = trainer.map(iters=iters_per_kf)
+        t_kf = time.time()
+        if trace_dir is not None and idx == trace_kf:
+            # opt-in device-trace window around one keyframe's map() block
+            with trace(trace_dir):
+                loss = trainer.map(iters=iters_per_kf)
+        else:
+            loss = trainer.map(iters=iters_per_kf)
+        if mlog is not None:
+            dt = max(time.time() - t_kf, 1e-9)
+            mlog.log(trainer.iteration, kf=idx, loss=loss,
+                     it_per_s=round(iters_per_kf / dt, 3),
+                     n_alive=int(trainer.scene.num_alive),
+                     n_dropped_total=trainer.n_dropped_total,
+                     capacity=trainer.scene.capacity)
         if log_every and (idx // kf_interval) % log_every == 0:
             print(f"kf {idx}: loss {loss:.4f} "
                   f"alive {int(trainer.scene.num_alive)} "
@@ -49,8 +71,13 @@ def run(config: dict, save_dir: str | None = None,
 
     trainer.color_refinement(refinement_iters,
                              log_every=max(refinement_iters // 10, 1))
+    if mlog is not None:
+        mlog.log(trainer.iteration, phase="refined",
+                 n_alive=int(trainer.scene.num_alive),
+                 n_dropped_total=trainer.n_dropped_total,
+                 wall_s=round(time.time() - t0, 1))
 
-    if save_dir:
+    if save_dir and multihost.is_primary():
         out = os.path.join(save_dir, "point_cloud", "final",
                            "point_cloud.ply")
         ply.save_scene(trainer.scene, out)
@@ -65,6 +92,11 @@ def main(argv=None):
     parser.add_argument("--capacity", type=int, default=2 ** 19)
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--refinement_iters", type=int, default=26000)
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="opt-in: capture a Perfetto device trace of "
+                             "one keyframe's mapping block into this dir")
+    parser.add_argument("--trace_kf", type=int, default=0,
+                        help="keyframe index to trace (with --trace_dir)")
     args = parser.parse_args(argv)
 
     config = load_config(args.config)
@@ -76,7 +108,8 @@ def main(argv=None):
             yaml.dump(config, f)
         print("saving results in", save_dir)
     run(config, save_dir, capacity=args.capacity,
-        max_frames=args.max_frames, refinement_iters=args.refinement_iters)
+        max_frames=args.max_frames, refinement_iters=args.refinement_iters,
+        trace_dir=args.trace_dir, trace_kf=args.trace_kf)
 
 
 if __name__ == "__main__":

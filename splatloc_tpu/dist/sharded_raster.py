@@ -1,12 +1,18 @@
 """Multi-chip rasterization: tile axis sharded over the device mesh.
 
-The "sequence parallelism" of this framework (SURVEY.md §5): image tiles
-shard across devices; every device runs the Pallas pair-walk kernel on its
-tile rows against the (replicated) packed pair data. The backward kernel's
-per-pair gradient shards are disjoint by tile and combine with one psum over
-ICI; shard_map's reverse rule all-reduces the replicated-input cotangents
-automatically. Forward/gradients are bit-identical to the single-device path
-(tested on an 8-device host mesh).
+The "sequence parallelism" of this framework (SURVEY.md §5): image tile ROWS
+shard across devices. Each device bins (Gaussian, tile) pairs ONLY for its
+own tile rows (rects clipped to its row range), gathers only its own pair
+attributes, and runs the Pallas pair-walk kernels on its shard — nothing
+pair-sized is replicated or communicated. Only the O(N) per-Gaussian prep
+(projection, depth sort, the packed attribute table) is replicated. In the
+backward, each device reduces its per-pair grad slab to per-Gaussian sums
+locally, so the only collective is a psum of the [N, rows] reduction over
+ICI (~6 MB at 100k Gaussians vs ~280 MB for the pair-grad slab a naive
+design would all-reduce; asserted on the compiled HLO in
+tests/test_dist.py::test_sharded_backward_comm_volume). Forward/gradients
+match the single-device path to float eps (tested on an 8-device host
+mesh).
 
 For the complementary *Gaussian* axis sharding (parameters/optimizer state),
 see dist.shard — pjit layouts over the 'gauss' axis with XLA-inserted

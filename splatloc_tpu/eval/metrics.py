@@ -106,9 +106,14 @@ def load_lpips_params(path: str) -> dict | None:
 
 
 def write_rendering_report(path: str, mean_psnr, mean_ssim, mean_lpips):
-    """eval_rendering.txt, reference format (utils/eval_utils.py:64-70)."""
+    """eval_rendering.txt, reference format (utils/eval_utils.py:64-70).
+
+    mean_lpips=None (no converted LPIPS weights available) writes an
+    explicit marker instead of silently averaging NaN into the report."""
     import os
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if mean_lpips is None:
+        mean_lpips = "UNAVAILABLE (no converted LPIPS weights)"
     with open(path, "w") as f:
         f.write(f"mean_psnr: {mean_psnr}\n")
         f.write(f"mean_ssim: {mean_ssim}\n")

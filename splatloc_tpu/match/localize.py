@@ -280,8 +280,12 @@ def refine_pose(scene, camera, w2c0, gt, iters: int = 64, lr: float = 2e-3,
         if s == 1:
             cam_s, gt_s = camera, gt
         else:
+            # pixel-center-correct principal point under s-fold downscale:
+            # pixel centers sit at half-integers, so c' = (c + 0.5)/s - 0.5
+            # (plain c/s biases the coarse objective by ~0.4 px at s=4)
             cam_s = Camera.create(camera.w2c, camera.fx / s, camera.fy / s,
-                                  camera.cx / s, camera.cy / s, W // s,
+                                  (camera.cx + 0.5) / s - 0.5,
+                                  (camera.cy + 0.5) / s - 0.5, W // s,
                                   H // s, camera.znear, camera.zfar)
             gt_s = gt.reshape(H // s, s, W // s, s, gt.shape[-1]).mean((1, 3))
         xi, info = _refine_pose_jit(scene, cam_s, w2c, gt_s, iters, lr,

@@ -380,7 +380,12 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         one_m = 1.0 - alpha
         dalpha = bw * (t_exc * u - s_in / one_m)
         not_clamped = jnp.where(raw < alpha_max, 1.0, 0.0)
-        dpower = dalpha * alpha * not_clamped
+        # d alpha / d power = alpha only where the exp(min(power, 0)) clamp
+        # is inactive: boundary pairs kept with power in (0, KEEP_EPS] have
+        # zero derivative w.r.t. power (alpha is flat there), so mask them
+        # out of the xy/conic/opacity chain
+        in_ellipse = jnp.where(power <= 0.0, 1.0, 0.0)
+        dpower = dalpha * alpha * not_clamped * in_ellipse
         dop_pix = dalpha * e * not_clamped
 
         # grads w.r.t. the quadratic coefficients: ONE MXU contraction over
@@ -658,41 +663,68 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     rect = jnp.take(jnp.stack([xy[:, 0], xy[:, 1], radius,
                                visible.astype(jnp.float32)], axis=-1),
                     order, axis=0)
-    pr = pairs_mod.build_pairs(rect[:, :2], rect[:, 2], rect[:, 3] > 0.5,
-                               width, height, cfg)
     order_p = jnp.concatenate([order.astype(jnp.int32),
                                jnp.full((1,), n, jnp.int32)])
     per_gs = _build_per_g(xy, conic, jnp.where(visible, opacity, 0.0),
                           depth, colors, order_p)
-    gpair = _gather_pairs(per_gs, jnp.minimum(pr["pair_idx"], n))
 
     if mesh is None:
+        pr = pairs_mod.build_pairs(rect[:, :2], rect[:, 2], rect[:, 3] > 0.5,
+                                   width, height, cfg)
+        gpair = _gather_pairs(per_gs, jnp.minimum(pr["pair_idx"], n))
         out = _run_fwd_kernel(pr["starts"], pr["counts"],
                               jnp.asarray(origins), gpair, T, P, C, rows,
                               cfg, interpret)
-    else:
-        from jax.sharding import PartitionSpec as Pspec
-        from jax.experimental.shard_map import shard_map
-        D = mesh.shape[axis]
-        Tp = T + ((-T) % D)
-        Tl = Tp // D
-        starts = jnp.concatenate([pr["starts"],
-                                  jnp.zeros(((-T) % D,), jnp.int32)])
-        counts = jnp.concatenate([pr["counts"],
-                                  jnp.zeros(((-T) % D,), jnp.int32)])
-        orig = np.concatenate([origins.reshape(T, 2),
-                               np.zeros(((-T) % D, 2), np.int32)])
+        return out, pr, gpair
 
-        def per_dev(s, c, o, g):
-            return _run_fwd_kernel(s, c, o.reshape(-1), g, Tl, P, C, rows,
-                                   cfg, interpret)
+    # Sharded: each device bins pairs ONLY for its own contiguous block of
+    # tile ROWS (clipping every rect to its row range) and gathers only its
+    # own pair attributes — nothing pair-sized is replicated or communicated
+    # in the forward; only the O(N) prep above (projection gather, per-G
+    # table) is replicated. The tile grid is padded to D*rows_dev rows;
+    # phantom rows (beyond the image) can receive pairs from bottom-edge
+    # splats, but their accumulators are sliced off here and their
+    # cotangents are zero in the backward, so they are inert.
+    from jax.sharding import PartitionSpec as Pspec
+    from jax import shard_map
+    D = mesh.shape[axis]
+    gx = -(-width // ts)
+    gy = -(-height // ts)
+    rows_dev = -(-gy // D)
+    H_local = rows_dev * ts
+    Tl = rows_dev * gx
+    Tp = D * Tl
+    _, orig_pad = _origins(width, D * H_local, ts)   # GLOBAL pixel origins
+    orig_pad = orig_pad.reshape(Tp, 2)
+    # per-device pair budget: the global budget split across devices with a
+    # load-imbalance margin; overflow is surfaced via the psummed drop
+    # counters and the trainer's escalation (which grows pair_cap_factor)
+    pair_cap_local = int(np.ceil(cfg.pair_cap_factor * n
+                                 * cfg.shard_pair_margin / D))
 
-        out = shard_map(
-            per_dev, mesh=mesh,
-            in_specs=(Pspec(axis), Pspec(axis), Pspec(axis), Pspec()),
-            out_specs=Pspec(axis), check_rep=False,
-        )(starts, counts, jnp.asarray(orig), gpair)[:T]
-    return out, pr, gpair
+    def per_dev(o, rect_, per_gs_):
+        d = jax.lax.axis_index(axis)
+        y0 = (d * H_local).astype(jnp.float32)
+        xy_local = jnp.stack([rect_[:, 0], rect_[:, 1] - y0], -1)
+        p = pairs_mod.build_pairs(xy_local, rect_[:, 2], rect_[:, 3] > 0.5,
+                                  width, H_local, cfg,
+                                  pair_cap=pair_cap_local)
+        g = _gather_pairs(per_gs_, jnp.minimum(p["pair_idx"], n))
+        acc = _run_fwd_kernel(p["starts"], p["counts"], o.reshape(-1), g,
+                              Tl, P, C, rows, cfg, interpret)
+        return (acc, p["starts"], p["counts"], p["pair_idx"],
+                p["per_rank_counts"][None], p["n_dropped"][None],
+                p["n_trunc"][None], g)
+
+    (acc, starts, counts, pair_idx, prc, nd, nt, gpair) = shard_map(
+        per_dev, mesh=mesh,
+        in_specs=(Pspec(axis), Pspec(), Pspec()),
+        out_specs=tuple([Pspec(axis)] * 8), check_vma=False,
+    )(jnp.asarray(orig_pad), rect, per_gs)
+    pr = {"starts": starts, "counts": counts, "pair_idx": pair_idx,
+          "per_rank_counts": prc, "n_dropped": jnp.sum(nd),
+          "n_trunc": jnp.sum(nt)}
+    return acc[:T], pr, gpair
 
 
 def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
@@ -736,65 +768,29 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
     )(starts, counts, origins, gpair, fwd_out, cot, gzero)
 
 
-def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
-                   interpret, mesh=None, axis="tile"):
-    ts = cfg.tile_size
-    P = ts * ts
-    rows = _rows_for(C)
-    T, origins = _origins(width, height, ts)
+def _reduce_to_gauss(grad_pairs, pair_idx, per_rank_counts, n, C, kmax,
+                     interpret):
+    """Reduce per-pair grads -> per-Gaussian grads (DEPTH-SORTED order).
 
-    if mesh is None:
-        grad_pairs = _run_bwd_kernel(pr["starts"], pr["counts"],
-                                     jnp.asarray(origins), gpair, fwd_out,
-                                     cot, T, P, C, rows, cfg, interpret)
-    else:
-        from jax.sharding import PartitionSpec as Pspec
-        from jax.experimental.shard_map import shard_map
-        D = mesh.shape[axis]
-        pad = (-T) % D
-        Tl = (T + pad) // D
-        PCcap = gpair.shape[1]
-        # pad tiles sit at the END of the pair array (start = cap, count 0)
-        # so each device's owned position range stays contiguous
-        starts = jnp.concatenate([pr["starts"],
-                                  jnp.full((pad,), PCcap, jnp.int32)])
-        counts = jnp.concatenate([pr["counts"], jnp.zeros((pad,), jnp.int32)])
-        orig = np.concatenate([origins.reshape(T, 2),
-                               np.zeros((pad, 2), np.int32)])
-        fwd_p = jnp.concatenate(
-            [fwd_out, jnp.zeros((pad,) + fwd_out.shape[1:], fwd_out.dtype)])
-        cot_p = jnp.concatenate(
-            [cot, jnp.zeros((pad,) + cot.shape[1:], cot.dtype)])
+    pair_idx is the DEPTH RANK; an XLA scatter-add here costs ~7 ms at 550k
+    pairs (sequential per-update apply), so instead: sort pairs by rank
+    (ranks form ascending runs of <= kmax), row-gather the grad rows through
+    the sort permutation (TPU row-gathers are ~10x its scatters), run a
+    Hillis-Steele segmented scan over the lane axis, and read each rank's
+    run-end. Run boundaries come from the analytic per-rank emitted
+    counts — exact whenever n_dropped == 0 (the steady-state invariant
+    the trainer enforces by auto-escalating the binning caps); when pairs
+    were dropped, affected ranks conservatively miss part of their
+    gradient for that step and the run-end mask keeps sums sound.
 
-        def per_dev(s, c, o, g, f, ct):
-            gp = _run_bwd_kernel(s, c, o.reshape(-1), g, f, ct, Tl, P, C,
-                                 rows, cfg, interpret)
-            # tiles are disjoint across devices and every device's buffer is
-            # zero-initialized via the gzero alias; sum the pair-grad shards
-            return jax.lax.psum(gp, axis)
-
-        grad_pairs = shard_map(
-            per_dev, mesh=mesh,
-            in_specs=(Pspec(axis), Pspec(axis), Pspec(axis), Pspec(),
-                      Pspec(axis), Pspec(axis)),
-            out_specs=Pspec(), check_rep=False,
-        )(starts, counts, jnp.asarray(orig), gpair, fwd_p, cot_p)
-
-    # reduce per-pair grads -> per-Gaussian grads. pair_idx is the DEPTH
-    # RANK; an XLA scatter-add here costs ~7 ms at 550k pairs (sequential
-    # per-update apply), so instead: sort pairs by rank (ranks form
-    # ascending runs of <= max_tiles), row-gather the grad rows through the
-    # sort permutation (TPU row-gathers are ~10x its scatters), run a
-    # Hillis-Steele segmented scan over the lane axis, and read each rank's
-    # run-end. Run boundaries come from the analytic per-rank emitted
-    # counts — exact whenever n_dropped == 0 (the steady-state invariant
-    # the trainer enforces by auto-escalating the binning caps); when pairs
-    # were dropped, affected ranks conservatively miss part of their
-    # gradient for that step and the run-end mask keeps sums sound.
+    Under the sharded path this runs PER DEVICE on the device's own pair
+    array, so the cross-device collective is the [n, rows] psum of its
+    result — not the [PC, 128] pair-grad slab (~6 MB vs ~280 MB at map
+    scale; SURVEY.md §2.3 ICI design)."""
     PC = grad_pairs.shape[0]
     rows = _rows_for(C)
-    ids = pr["pair_idx"]
-    si, perm = jax.lax.sort_key_val(ids, jnp.arange(PC, dtype=jnp.int32))
+    si, perm = jax.lax.sort_key_val(pair_idx,
+                                    jnp.arange(PC, dtype=jnp.int32))
     # grad_pairs is PAIR-major straight from the kernel ([PC, 128], attrs
     # in lanes 0..rows): the gather reads contiguous rows ({1,0} operand
     # AND output — measured ~5x faster than the attr-major-source form XLA
@@ -812,7 +808,6 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
         pos = jnp.arange(PC, dtype=jnp.int32)
         k = 1
         # max run length of one rank = the giant-splat extension tile cap
-        kmax = pairs_mod.big_tiles_for(cfg, width, height)
         while k < kmax:
             same = (jnp.roll(si, k) == si) & (pos >= k)
             x = jnp.where(same[None, :], x + jnp.roll(x, k, axis=1), x)
@@ -821,11 +816,66 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
     # the run-end extraction is a single row gather
     xr = jax.lax.optimization_barrier(
         jnp.concatenate([x, si[None].astype(jnp.float32)]).T)  # [PC, rows+1]
-    b = jnp.cumsum(pr["per_rank_counts"])                     # run ends
+    b = jnp.cumsum(per_rank_counts)                           # run ends
     at = jnp.clip(b - 1, 0, PC - 1)
     ends = jnp.take(xr, at, axis=0)                           # [n, rows+1]
     valid = ends[:, rows].astype(jnp.int32) == jnp.arange(n, dtype=jnp.int32)
-    seg = jnp.where(valid[:, None], ends[:, :rows], 0.0)
+    return jnp.where(valid[:, None], ends[:, :rows], 0.0)
+
+
+def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
+                   interpret, mesh=None, axis="tile"):
+    ts = cfg.tile_size
+    P = ts * ts
+    rows = _rows_for(C)
+    T, origins = _origins(width, height, ts)
+
+    if mesh is None:
+        grad_pairs = _run_bwd_kernel(pr["starts"], pr["counts"],
+                                     jnp.asarray(origins), gpair, fwd_out,
+                                     cot, T, P, C, rows, cfg, interpret)
+        seg = _reduce_to_gauss(grad_pairs, pr["pair_idx"],
+                               pr["per_rank_counts"], n, C,
+                               pairs_mod.big_tiles_for(cfg, width, height),
+                               interpret)
+    else:
+        # Sharded: every pair-sized quantity (the kernel's grad slab, the
+        # rank sort, the segmented scan) stays ON its owning device; the
+        # only collective is the psum of the per-Gaussian [n, rows]
+        # reduction (~6 MB at 100k Gaussians vs ~280 MB for the per-pair
+        # slab it replaces). Phantom tiles beyond the image get zero
+        # cotangents, so their pairs contribute exactly zero.
+        from jax.sharding import PartitionSpec as Pspec
+        from jax import shard_map
+        D = mesh.shape[axis]
+        gx = -(-width // ts)
+        gy = -(-height // ts)
+        rows_dev = -(-gy // D)
+        H_local = rows_dev * ts
+        Tl = rows_dev * gx
+        pad = D * Tl - T
+        _, orig_pad = _origins(width, D * H_local, ts)
+        orig_pad = orig_pad.reshape(D * Tl, 2)
+        fwd_p = jnp.concatenate(
+            [fwd_out, jnp.zeros((pad,) + fwd_out.shape[1:], fwd_out.dtype)])
+        cot_p = jnp.concatenate(
+            [cot, jnp.zeros((pad,) + cot.shape[1:], cot.dtype)])
+        kmax = pairs_mod.big_tiles_for(cfg, width, H_local)
+
+        def per_dev(s, c, o, g, f, ct, pi, prc):
+            gp = _run_bwd_kernel(s, c, o.reshape(-1), g, f, ct, Tl, P, C,
+                                 rows, cfg, interpret)
+            seg_local = _reduce_to_gauss(gp, pi, prc[0], n, C, kmax,
+                                         interpret)
+            return jax.lax.psum(seg_local, axis)
+
+        seg = shard_map(
+            per_dev, mesh=mesh,
+            in_specs=(Pspec(axis), Pspec(axis), Pspec(axis), Pspec(axis),
+                      Pspec(axis), Pspec(axis), Pspec(axis), Pspec(axis)),
+            out_specs=Pspec(), check_vma=False,
+        )(pr["starts"], pr["counts"], jnp.asarray(orig_pad), gpair, fwd_p,
+          cot_p, pr["pair_idx"], pr["per_rank_counts"])
     inv_order = jnp.argsort(order.astype(jnp.int32))
     seg = jnp.take(seg, inv_order, axis=0)                    # unsorted
     dxy = seg[:, [R_X, R_Y]]

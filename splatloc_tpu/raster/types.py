@@ -53,6 +53,11 @@ class RasterConfig:
     big_tiles: int | None = struct.field(pytree_node=False, default=192)
     mid_k: int = struct.field(pytree_node=False, default=4096)
     mid_tiles: int = struct.field(pytree_node=False, default=48)
+    # Sharded path (dist.sharded_raster): per-device pair budget = the
+    # global pair budget split across the D tile-row shards times this
+    # load-imbalance margin. Overflow is surfaced via the psummed drop
+    # counters exactly like the single-device caps.
+    shard_pair_margin: float = struct.field(pytree_node=False, default=2.0)
 
 
 @struct.dataclass

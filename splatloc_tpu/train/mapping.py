@@ -324,7 +324,7 @@ class MappingTrainer:
         self.host_rng = np.random.default_rng(seed)
         self._mapping_step = make_mapping_step(cfg)
         self._refine_step = make_refinement_step(cfg)
-        self._last_n_dropped = None
+        self._pending_dropped = []  # per-step [dropped, trunc] device arrays
         self.n_dropped_total = 0
         self.camera = Camera.create(np.eye(4, dtype=np.float32), cfg.fx,
                                     cfg.fy, cfg.cx, cfg.cy, cfg.width,
@@ -365,13 +365,19 @@ class MappingTrainer:
         densify cadence (checking per-iter would force a device sync). On any
         dropped pairs: warn, double the caps, rebuild the jitted steps —
         silent under-rendering is impossible by construction."""
-        if self._last_n_dropped is None:
+        if not self._pending_dropped:
             return
-        dropped, trunc = (int(x) for x in np.asarray(self._last_n_dropped))
-        self._last_n_dropped = None
+        # every step since the last check is inspected (device arrays are
+        # accumulated sync-free and read here in one host transfer), so a
+        # transient drop on an intermediate step cannot be missed
+        arrs = np.stack([np.asarray(x) for x in self._pending_dropped])
+        self._pending_dropped = []
+        self.n_dropped_total += int(arrs[:, 0].sum())
+        # escalate on the worst step seen for each counter
+        dropped = int(arrs[:, 0].max())
+        trunc = int(arrs[:, 1].max())
         if dropped == 0:
             return
-        self.n_dropped_total += dropped
         import dataclasses
         import warnings
         old = self.cfg
@@ -388,8 +394,11 @@ class MappingTrainer:
             if old.big_tiles is not None:
                 bt = old.big_tiles * 2
                 changes["big_tiles"] = None if bt >= T else bt
-            changes["mid_tiles"] = min(old.mid_tiles * 2,
-                                       old.big_tiles or T)
+            # keep mid strictly below the full tier: extension_tiers drops
+            # the mid tier entirely at mid == full (pairs.py), which would
+            # silently remove mid_k slots of moderately-big-splat coverage
+            new_full = changes.get("big_tiles", old.big_tiles) or T
+            changes["mid_tiles"] = min(old.mid_tiles * 2, new_full - 1)
         if dropped > trunc:
             # global pair budget overflowed: grow it (and the per-tile list
             # capacity of the XLA fallback path, whose drops count here too)
@@ -448,7 +457,7 @@ class MappingTrainer:
              n_dropped) = (
                 self._mapping_step(self.scene, self.opt_state, self.stats,
                                    frames, jnp.asarray(self.iteration)))
-            self._last_n_dropped = n_dropped
+            self._pending_dropped.append(n_dropped)
 
             update = (self.iteration % cfg.gaussian_update_every
                       == cfg.gaussian_update_offset)

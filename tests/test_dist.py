@@ -50,6 +50,42 @@ def test_tile_sharded_raster_parity(rng):
     np.testing.assert_allclose(np.asarray(g_m), np.asarray(g_s), atol=1e-6)
 
 
+def test_sharded_backward_comm_volume(rng):
+    """Scaling-efficiency invariant, testable without hardware: the sharded
+    backward's only sizeable collective is the per-Gaussian [n, rows] psum
+    — never a pair-sized grad slab (which at map scale would be ~280 MB vs
+    ~6 MB). Asserted on the compiled HLO's all-reduce operand shapes."""
+    import re
+
+    n = 250
+    sc = _scene(rng, n)
+    cam = Camera.create(np.eye(4, dtype=np.float32), 50.0, 50.0, 32.0, 24.0,
+                        64, 48)
+    cfg = RasterConfig(tile_size=16, tile_chunk=4, use_pallas=True)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("tile",))
+
+    def loss(means):
+        o = rasterize_sharded(means, *sc[1:], cam, cfg, mesh)
+        return jnp.mean(o.image ** 2) + 0.1 * jnp.mean(o.depth)
+
+    txt = jax.jit(jax.grad(loss)).lower(sc[0]).compile().as_text()
+    dbytes = {"f32": 4, "s32": 4, "u32": 4, "f64": 8, "s64": 8, "pred": 1,
+              "bf16": 2, "f16": 2}
+    sizes = []
+    for m in re.finditer(r"= (\w+)\[([\d,]*)\][^=]*? all-reduce", txt):
+        dims = [int(d) for d in m.group(2).split(",") if d] or [1]
+        size = dbytes.get(m.group(1), 4)
+        for d in dims:
+            size *= d
+        sizes.append(size)
+    assert sizes, "expected at least the [n, rows] gradient psum"
+    rows = 16  # _rows_for(C=4)
+    gauss_psum = n * rows * 4
+    assert max(sizes) <= 2 * gauss_psum, (
+        f"oversized collective: {max(sizes)} B (all-reduces: {sizes}); "
+        f"the per-Gaussian psum is {gauss_psum} B")
+
+
 def test_sharded_mapping_step_runs(rng):
     """The pjit-annotated mapping step over a (data, gauss) mesh compiles
     and matches the unsharded step."""

@@ -40,6 +40,17 @@ def test_report_formats(tmp_path):
     assert "Match    : Trans.(cm): 1.0" in txt
 
 
+def test_rendering_report_marks_missing_lpips(tmp_path):
+    """Without converted LPIPS weights the report carries an explicit
+    marker — never a silent NaN column (reference writes a real value,
+    utils/eval_utils.py:64-70)."""
+    p = str(tmp_path / "eval_rendering.txt")
+    metrics.write_rendering_report(p, 30.0, 0.9, None)
+    txt = open(p).read()
+    assert "mean_lpips: UNAVAILABLE" in txt
+    assert "nan" not in txt.lower()
+
+
 def _toy_views(n_views=6):
     """Cameras on a circle looking at the origin region."""
     K = np.array([[100.0, 0, 32], [0, 100, 24], [0, 0, 1]], np.float32)

@@ -51,6 +51,16 @@ def test_full_pipeline(dataset):
                                    refinement_iters=30, log_every=0)
     assert os.path.exists(ply_path)
 
+    # observability: the run leaves a structured metrics stream next to the
+    # checkpoint (SURVEY.md §5), one record per keyframe mapping block
+    mpath = os.path.join(save_dir, "metrics.jsonl")
+    assert os.path.exists(mpath)
+    import json
+    recs = [json.loads(line) for line in open(mpath) if line.strip()]
+    assert len(recs) >= 2
+    assert {"step", "loss", "it_per_s", "n_alive"} <= set(recs[0])
+    assert recs[-1].get("phase") == "refined"
+
     # tiny cloud => one optimizer step per epoch; needs many epochs to
     # memorize the 40 random descriptors
     ckpt = train_decoder.run(config, save_dir, num_epochs=400)

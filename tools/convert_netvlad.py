@@ -18,27 +18,35 @@ _VGG_ORDER = ["conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1",
               "conv5_1", "conv5_2", "conv5_3"]
 
 
-def main(src, dst):
-    sd = torch.load(src, map_location="cpu")
-    if hasattr(sd, "state_dict"):
-        sd = sd.state_dict()
+def convert(sd: dict) -> dict:
+    """hloc NetVLAD state_dict -> splatloc_tpu param arrays. Layout proven
+    round-trip in tests/test_converters.py against a torch forward with the
+    same weights."""
     out = {}
     conv_keys = [k for k in sd if k.endswith(".weight") and sd[k].dim() == 4
                  and "backbone" in k]
     conv_keys = sorted(conv_keys, key=lambda k: int(k.split(".")[1]))
     assert len(conv_keys) >= len(_VGG_ORDER), conv_keys
     for name, k in zip(_VGG_ORDER, conv_keys):
-        out[f"{name}_w"] = np.transpose(sd[k].numpy(), (2, 3, 1, 0))
-        out[f"{name}_b"] = sd[k.replace(".weight", ".bias")].numpy()
+        out[f"{name}_w"] = np.transpose(sd[k].detach().numpy(), (2, 3, 1, 0))
+        out[f"{name}_b"] = sd[k.replace(".weight", ".bias")].detach().numpy()
     out["vlad_assign_w"] = np.transpose(
-        sd["netvlad.score_proj.weight"].numpy(), (2, 3, 1, 0))
+        sd["netvlad.score_proj.weight"].detach().numpy(), (2, 3, 1, 0))
     out["vlad_assign_b"] = sd.get(
         "netvlad.score_proj.bias",
-        torch.zeros(out["vlad_assign_w"].shape[-1])).numpy()
-    out["vlad_centers"] = sd["netvlad.centers"].numpy().T
+        torch.zeros(out["vlad_assign_w"].shape[-1])).detach().numpy()
+    out["vlad_centers"] = sd["netvlad.centers"].detach().numpy().T
     if "whiten.weight" in sd:
-        out["whiten_w"] = sd["whiten.weight"].numpy().T
-        out["whiten_b"] = sd["whiten.bias"].numpy()
+        out["whiten_w"] = sd["whiten.weight"].detach().numpy().T
+        out["whiten_b"] = sd["whiten.bias"].detach().numpy()
+    return out
+
+
+def main(src, dst):
+    sd = torch.load(src, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    out = convert(sd)
     np.savez(dst, **out)
     print(f"wrote {dst}: {len(out)} arrays")
 

@@ -20,14 +20,22 @@ _MAP = {  # torch module name -> our name
 }
 
 
-def main(src, dst):
-    sd = torch.load(src, map_location="cpu")
+def convert(sd: dict) -> dict:
+    """MagicLeap superpoint_v1 state_dict -> splatloc_tpu param arrays.
+    Layout proven round-trip in tests/test_converters.py against a torch
+    forward with the same weights."""
     out = {}
     for tname, oname in _MAP.items():
-        w = sd[f"{tname}.weight"].numpy()
-        b = sd[f"{tname}.bias"].numpy()
+        w = sd[f"{tname}.weight"].detach().numpy()
+        b = sd[f"{tname}.bias"].detach().numpy()
         out[f"{oname}_w"] = np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
         out[f"{oname}_b"] = b
+    return out
+
+
+def main(src, dst):
+    sd = torch.load(src, map_location="cpu")
+    out = convert(sd)
     np.savez(dst, **out)
     print(f"wrote {dst}: {len(out)} arrays")
 
