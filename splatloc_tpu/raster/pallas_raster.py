@@ -539,9 +539,10 @@ def _force_compact(x, interpret):
 # Segmented-scan implementation for the backward per-Gaussian reduction:
 # "pallas" = one-pass kernel (single HBM read+write of the 35 MB grad
 # matrix); "xla" = log2(kmax) Hillis-Steele roll passes (~0.7 ms more at
-# 550k pairs). Module-level so it can be flipped without a code edit;
-# stays "xla" until the pallas variant is Mosaic-validated on a real chip.
-SEGSCAN_MODE = "xla"
+# 550k pairs). Mosaic-validated on a real v5e chip 2026-08-18
+# (tools/segscan_onchip_check.py: max_rel_dev 0.0 vs the XLA path,
+# 79.6 ms vs 95.5 ms per 10 bwd iters at bench scale) -> "pallas".
+SEGSCAN_MODE = "pallas"
 
 
 def _segscan_kernel(x_ref, si_ref, o_ref, carry, prev_id, *, rows, blk):

@@ -73,6 +73,8 @@ iv = jnp.arange(100_000, dtype=jnp.int32)
 bench(jax.jit(lambda k, v: jax.lax.sort_key_val(k, v)), kv, iv, label="sort_key_val 100k f32/i32")
 
 print("== project+sort breakdown", flush=True)
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 from splatloc_tpu.core.camera import Camera
 from splatloc_tpu.raster import project, binning
 from splatloc_tpu.raster.types import RasterConfig

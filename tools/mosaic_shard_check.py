@@ -9,6 +9,8 @@ Run: python tools/mosaic_shard_check.py
 Prints one JSON line {"ok": true, "n_devices": N, "ms_per_iter": ...}.
 """
 from __future__ import annotations
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 
 import json
 import sys

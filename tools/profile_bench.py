@@ -14,6 +14,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 from splatloc_tpu.core.camera import Camera
 from splatloc_tpu.raster import rasterize, RasterConfig
 
@@ -118,6 +120,14 @@ def main():
         extra = f"\n            {det[0]}  @{det[1]}" if det else ""
         print(f"{d / 1e3 / iters:9.3f} ms/iter  x{counts[name] // iters:4d}  "
               f"{name[:100]}{extra}")
+    # machine-readable summary (backlog runner records the last stdout line)
+    print(json.dumps({
+        "tool": "profile_bench",
+        "ms_per_iter": round(dt * 1e3, 2),
+        "mpix_s": round(H * W / dt / 1e6, 2),
+        "device_op_ms": round(total / 1e3 / iters, 2),
+        "device_idle_ms": round(gap_tot / 1e3 / iters, 2),
+    }), flush=True)
 
 
 if __name__ == "__main__":

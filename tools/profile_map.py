@@ -3,6 +3,8 @@ iteration that dominates wall-clock in quality_gate / train_gaussians).
 
 Run: python tools/profile_map.py [n_alive] [iters]
 """
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 import collections
 import glob
 import gzip
@@ -73,8 +75,11 @@ def main():
         trainer.map(iters)
         jax.block_until_ready(trainer.scene.xyz)
 
+    summary = {"tool": "profile_map", "ms_per_step": round(dt * 1e3, 1),
+               "it_s": round(1 / dt, 2), "n_alive": n_alive, "capacity": cap}
     files = sorted(glob.glob(logdir + "/**/*.trace.json.gz", recursive=True))
     if not files:
+        print(json.dumps(summary), flush=True)
         return
     with gzip.open(files[-1]) as f:
         t = json.load(f)
@@ -102,6 +107,9 @@ def main():
         extra = f"\n            {det}" if det else ""
         print(f"{d / 1e3 / iters:9.3f} ms/step  x{counts[name] // iters:4d}  "
               f"{name[:90]}{extra}")
+    # machine-readable summary (backlog runner records the last stdout line)
+    summary["device_op_ms"] = round(total / 1e3 / iters, 2)
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,8 @@ Passes when mean eval PSNR >= 30 and kp contrast >= 5x.
 Prints one JSON line with psnr/ssim/kp_contrast/n_alive/iters_per_s.
 """
 from __future__ import annotations
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 
 import json
 import sys

@@ -14,6 +14,8 @@ if "--tpu" not in sys.argv:
 import numpy as np
 import jax.numpy as jnp
 
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 from splatloc_tpu.core.camera import Camera
 from splatloc_tpu.core import transforms
 from splatloc_tpu.raster.api import render

@@ -20,6 +20,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import sys as _sys, pathlib as _pl
+_sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
 from splatloc_tpu.core.camera import Camera
 from splatloc_tpu.raster import rasterize, RasterConfig
 
