@@ -43,7 +43,7 @@ def rasterize_sharded(means3d, scales, quats, opacities, colors,
     proj = project.project_gaussians(means3d, scales, quats, camera, cfg,
                                      alive=alive)
     order = binning.depth_sort(proj)
-    acc, n_dropped, n_trunc = pallas_raster.blend_pairs(
+    acc, n_dropped, n_trunc, n_vis_dropped = pallas_raster.blend_pairs(
         proj.xy, proj.conic, opacities, proj.depth, colors,
         jax.lax.stop_gradient(proj.radius),
         jax.lax.stop_gradient(proj.visible.astype(jnp.float32)),
@@ -53,4 +53,5 @@ def rasterize_sharded(means3d, scales, quats, opacities, colors,
         acc, camera.width, camera.height, cfg, bg)
     return RenderOutput(image=image, depth=depth, alpha=alpha,
                         radii=proj.radius.astype(jnp.int32), means2d=proj.xy,
-                        n_dropped=n_dropped, n_trunc=n_trunc)
+                        n_dropped=n_dropped, n_trunc=n_trunc,
+                        n_vis_dropped=n_vis_dropped)

@@ -51,7 +51,7 @@ def rasterize(
     if cfg.use_pallas:
         from splatloc_tpu.raster import pallas_raster
         interpret = jax.default_backend() == "cpu"
-        acc, n_dropped, n_trunc = pallas_raster.blend_pairs(
+        acc, n_dropped, n_trunc, n_vis_dropped = pallas_raster.blend_pairs(
             proj.xy, proj.conic, opacities, proj.depth, colors,
             jax.lax.stop_gradient(proj.radius),
             jax.lax.stop_gradient(proj.visible.astype(jnp.float32)),
@@ -63,6 +63,7 @@ def rasterize(
         lists, _counts, n_dropped = binning.tile_lists(
             proj, order, camera.width, camera.height, cfg)
         n_trunc = jnp.zeros((), jnp.int32)
+        n_vis_dropped = jnp.zeros((), jnp.int32)
         image, depth, alpha = blend.blend_image(
             lists,
             proj.xy[order],
@@ -74,7 +75,8 @@ def rasterize(
 
     return RenderOutput(image=image, depth=depth, alpha=alpha,
                         radii=proj.radius.astype(jnp.int32), means2d=proj.xy,
-                        n_dropped=n_dropped, n_trunc=n_trunc)
+                        n_dropped=n_dropped, n_trunc=n_trunc,
+                        n_vis_dropped=n_vis_dropped)
 
 
 def render(scene, camera: Camera, cfg: RasterConfig = RasterConfig(),

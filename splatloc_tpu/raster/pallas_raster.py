@@ -677,7 +677,18 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     """All per-Gaussian inputs UNSORTED; ``order`` is the depth permutation.
     Only the small rect quantities are gathered into sorted order for pair
     building; the heavy per-pair attribute gather composes order[pair_idx]
-    directly."""
+    directly.
+
+    cfg.visible_cap K (None = N) slices every depth-sorted quantity to the
+    first K ranks BEFORE pair building: invisible/dead Gaussians sort to the
+    end (depth +inf), so with n_visible <= K nothing is lost while ALL the
+    capacity-proportional glue (pair keys, attribute table, pack gathers,
+    run-end extraction) shrinks from the storage capacity to the active-set
+    tier — at map scale the capacity is 1.3-2x the alive count by
+    construction of the growth policy. Overflow (n_visible > K) drops the
+    FARTHEST visible Gaussians and is counted in n_vis_dropped so the
+    trainer escalates the tier (same no-silent-under-rendering contract as
+    the pair caps)."""
     ts = cfg.tile_size
     P = ts * ts
     C = colors.shape[-1]
@@ -685,7 +696,12 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     rows = _rows_for(C)
     T, origins = _origins(width, height, ts)
 
-    # one [N,4] row gather for the rect quantities: three separate 1-D
+    K = n if cfg.visible_cap is None else min(int(cfg.visible_cap), n)
+    n_vis = jnp.sum(visible.astype(jnp.int32))
+    n_vis_dropped = jnp.maximum(n_vis - K, 0)
+    order = order[:K]
+
+    # one [K,4] row gather for the rect quantities: three separate 1-D
     # [order] gathers measured ~1.7 ms/iter at 100k (XLA 1-D gathers run at
     # ~150M elem/s) while a 4-wide row gather is ~0.15 ms
     rect = jnp.take(jnp.stack([xy[:, 0], xy[:, 1], radius,
@@ -699,10 +715,11 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     if mesh is None:
         pr = pairs_mod.build_pairs(rect[:, :2], rect[:, 2], rect[:, 3] > 0.5,
                                    width, height, cfg)
-        gpair = _gather_pairs(per_gs, jnp.minimum(pr["pair_idx"], n))
+        gpair = _gather_pairs(per_gs, jnp.minimum(pr["pair_idx"], K))
         out = _run_fwd_kernel(pr["starts"], pr["counts"],
                               jnp.asarray(origins), gpair, T, P, C, rows,
                               cfg, interpret)
+        pr["n_vis_dropped"] = n_vis_dropped
         return out, pr, gpair
 
     # Sharded: each device bins pairs ONLY for its own contiguous block of
@@ -727,7 +744,7 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     # per-device pair budget: the global budget split across devices with a
     # load-imbalance margin; overflow is surfaced via the psummed drop
     # counters and the trainer's escalation (which grows pair_cap_factor)
-    pair_cap_local = int(np.ceil(cfg.pair_cap_factor * n
+    pair_cap_local = int(np.ceil(cfg.pair_cap_factor * K
                                  * cfg.shard_pair_margin / D))
 
     def per_dev(o, rect_, per_gs_):
@@ -737,7 +754,7 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
         p = pairs_mod.build_pairs(xy_local, rect_[:, 2], rect_[:, 3] > 0.5,
                                   width, H_local, cfg,
                                   pair_cap=pair_cap_local)
-        g = _gather_pairs(per_gs_, jnp.minimum(p["pair_idx"], n))
+        g = _gather_pairs(per_gs_, jnp.minimum(p["pair_idx"], K))
         acc = _run_fwd_kernel(p["starts"], p["counts"], o.reshape(-1), g,
                               Tl, P, C, rows, cfg, interpret)
         return (acc, p["starts"], p["counts"], p["pair_idx"],
@@ -751,7 +768,7 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     )(jnp.asarray(orig_pad), rect, per_gs)
     pr = {"starts": starts, "counts": counts, "pair_idx": pair_idx,
           "per_rank_counts": prc, "n_dropped": jnp.sum(nd),
-          "n_trunc": jnp.sum(nt)}
+          "n_trunc": jnp.sum(nt), "n_vis_dropped": n_vis_dropped}
     return acc[:T], pr, gpair
 
 
@@ -857,13 +874,16 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
     P = ts * ts
     rows = _rows_for(C)
     T, origins = _origins(width, height, ts)
+    # the per-pair/per-rank arrays cover only the first K depth ranks
+    # (cfg.visible_cap); ranks >= K are invisible and get zero grads
+    K = n if cfg.visible_cap is None else min(int(cfg.visible_cap), n)
 
     if mesh is None:
         grad_pairs = _run_bwd_kernel(pr["starts"], pr["counts"],
                                      jnp.asarray(origins), gpair, fwd_out,
                                      cot, T, P, C, rows, cfg, interpret)
         seg = _reduce_to_gauss(grad_pairs, pr["pair_idx"],
-                               pr["per_rank_counts"], n, C,
+                               pr["per_rank_counts"], K, C,
                                pairs_mod.big_tiles_for(cfg, width, height),
                                interpret)
     else:
@@ -893,7 +913,7 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
         def per_dev(s, c, o, g, f, ct, pi, prc):
             gp = _run_bwd_kernel(s, c, o.reshape(-1), g, f, ct, Tl, P, C,
                                  rows, cfg, interpret)
-            seg_local = _reduce_to_gauss(gp, pi, prc[0], n, C, kmax,
+            seg_local = _reduce_to_gauss(gp, pi, prc[0], K, C, kmax,
                                          interpret)
             return jax.lax.psum(seg_local, axis)
 
@@ -904,6 +924,9 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
             out_specs=Pspec(), check_vma=False,
         )(pr["starts"], pr["counts"], jnp.asarray(orig_pad), gpair, fwd_p,
           cot_p, pr["pair_idx"], pr["per_rank_counts"])
+    if K < n:
+        seg = jnp.concatenate(
+            [seg, jnp.zeros((n - K, seg.shape[1]), seg.dtype)])
     inv_order = jnp.argsort(order.astype(jnp.int32))
     seg = jnp.take(seg, inv_order, axis=0)                    # unsorted
     dxy = seg[:, [R_X, R_Y]]
@@ -924,14 +947,16 @@ def blend_pairs(xy, conic, opacity, depth, colors, radius, visible_f, order_f,
     cotangents. With ``mesh``, the tile axis shards across the named mesh
     axis (forward tiles sharded; backward pair-grad shards psummed).
 
-    Returns (acc [T, P, C+4], n_dropped, n_trunc): C channels, expected
-    depth, alpha (= sum of blend weights), n_contrib (backward bookkeeping);
-    the drop counters come free from the pair build (a separate pair_stats
-    call re-runs the whole corner-histogram pipeline, ~1 ms/iter)."""
+    Returns (acc [T, P, C+4], n_dropped, n_trunc, n_vis_dropped): C
+    channels, expected depth, alpha (= sum of blend weights), n_contrib +
+    t_final (backward bookkeeping); the drop counters come free from the
+    pair build (a separate pair_stats call re-runs the whole
+    corner-histogram pipeline, ~1 ms/iter); n_vis_dropped counts visible
+    Gaussians beyond cfg.visible_cap (0 when uncapped)."""
     out, pr, _ = _forward_impl(xy, conic, opacity, depth, colors, radius,
                                visible_f > 0.5, order_f.astype(jnp.int32),
                                width, height, cfg, interpret, mesh, axis)
-    return out, pr["n_dropped"], pr["n_trunc"]
+    return out, pr["n_dropped"], pr["n_trunc"], pr["n_vis_dropped"]
 
 
 def _blend_fwd_rule(xy, conic, opacity, depth, colors, radius, visible_f,
@@ -941,14 +966,14 @@ def _blend_fwd_rule(xy, conic, opacity, depth, colors, radius, visible_f,
                                    visible_f > 0.5,
                                    order_f.astype(jnp.int32), width, height,
                                    cfg, interpret, mesh, axis)
-    return ((out, pr["n_dropped"], pr["n_trunc"]),
+    return ((out, pr["n_dropped"], pr["n_trunc"], pr["n_vis_dropped"]),
             (pr, gpair, out, xy.shape[0], colors.shape[-1], radius,
              visible_f, order_f))
 
 
 def _blend_bwd_rule(width, height, cfg, interpret, mesh, axis, res, cot):
     pr, gpair, fwd_out, n, C, radius, visible_f, order_f = res
-    cot = cot[0]                 # drop n_dropped/n_trunc (int) cotangents
+    cot = cot[0]                 # drop the (int) drop-counter cotangents
     cot_main = cot[..., :C + 2]                  # ignore n_contrib cotangent
     dxy, dconic, dop, ddepth, dcolors = _backward_impl(
         pr, gpair, fwd_out, cot_main, order_f.astype(jnp.int32), width,

@@ -58,6 +58,16 @@ class RasterConfig:
     # load-imbalance margin. Overflow is surfaced via the psummed drop
     # counters exactly like the single-device caps.
     shard_pair_margin: float = struct.field(pytree_node=False, default=2.0)
+    # Active-set cap (Pallas path): slice every depth-sorted quantity to the
+    # first K ranks before pair building — invisible/dead Gaussians sort to
+    # the end (depth +inf), so with n_visible <= K nothing changes while the
+    # capacity-proportional binning glue (pair keys, attribute table, pack
+    # gathers, run-end extraction) shrinks from the STORAGE capacity to the
+    # active-set tier (the trainer keeps capacity 1.3-2x the alive count).
+    # Overflow drops the farthest visible Gaussians and is surfaced via
+    # RenderOutput.n_vis_dropped for the trainer's tier escalation. None =
+    # no cap.
+    visible_cap: int | None = struct.field(pytree_node=False, default=None)
 
 
 @struct.dataclass
@@ -75,6 +85,10 @@ class RenderOutput:
     #                                     per-Gaussian tile cap (vs the
     #                                     global pair budget) — the trainer
     #                                     escalates each cap independently
+    n_vis_dropped: jax.Array  # []        visible Gaussians beyond
+    #                                     cfg.visible_cap (always 0 when the
+    #                                     cap is None); the trainer bumps
+    #                                     the active-set tier on overflow
 
 
 @struct.dataclass

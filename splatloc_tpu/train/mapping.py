@@ -115,6 +115,11 @@ class MappingConfig:
     big_tiles: int | None = 192
     mid_k: int = 4096
     mid_tiles: int = 48
+    # active-set cap (RasterConfig.visible_cap): the trainer keeps this at
+    # the smallest tier above the alive count + insertion headroom, so the
+    # capacity-proportional binning glue tracks the ALIVE count instead of
+    # the (1.3-2x larger) storage capacity; None = uncapped
+    visible_cap: int | None = None
     # insertion budgets
     kp_budget: int = 16384
     nonkp_budget: int = 8192
@@ -134,7 +139,8 @@ class MappingConfig:
                             max_tiles=self.max_tiles,
                             pair_cap_factor=self.pair_cap_factor,
                             big_k=self.big_k, big_tiles=self.big_tiles,
-                            mid_k=self.mid_k, mid_tiles=self.mid_tiles)
+                            mid_k=self.mid_k, mid_tiles=self.mid_tiles,
+                            visible_cap=self.visible_cap)
 
     def opt_lr_dict(self) -> dict:
         return {
@@ -226,7 +232,8 @@ def make_mapping_step(cfg: MappingConfig):
                                         frame["exposure"][1],
                                         cfg.rgb_boundary_threshold)
                 l = l + losses.marker_loss(out.image[..., 3], gt_score)
-                return l, (out.radii, out.n_dropped, out.n_trunc)
+                return l, (out.radii, out.n_dropped, out.n_trunc,
+                           out.n_vis_dropped)
 
             # python-unrolled over views, NOT vmap and NOT lax.map: batching
             # the rasterizer glue turns its row gathers into batched gathers
@@ -240,6 +247,7 @@ def make_mapping_step(cfg: MappingConfig):
             radii = jnp.stack([o[1][0] for o in outs])
             ndrop = jnp.stack([o[1][1] for o in outs])
             ntrunc = jnp.stack([o[1][2] for o in outs])
+            nvis = jnp.stack([o[1][3] for o in outs])
             loss = jnp.sum(ls)
             iso = losses.isotropic_loss(jnp.exp(params["scaling"]),
                                         params["marker"][:, 0], scene.alive,
@@ -247,7 +255,8 @@ def make_mapping_step(cfg: MappingConfig):
             if cfg.primitive_reg:
                 loss = loss + cfg.isotropic_weight * iso
             return loss, (radii, jnp.stack([jnp.sum(ndrop),
-                                            jnp.sum(ntrunc)]))
+                                            jnp.sum(ntrunc),
+                                            jnp.max(nvis)]))
 
         offsets = jnp.zeros((V, M, 2), jnp.float32)
         (loss, (radii, n_dropped)), (grads, off_grads) = jax.value_and_grad(
@@ -324,7 +333,9 @@ class MappingTrainer:
         self.host_rng = np.random.default_rng(seed)
         self._mapping_step = make_mapping_step(cfg)
         self._refine_step = make_refinement_step(cfg)
-        self._pending_dropped = []  # per-step [dropped, trunc] device arrays
+        self._refresh_visible_cap()
+        # per-step [dropped, trunc, vis_overflow] device arrays
+        self._pending_dropped = []
         self.n_dropped_total = 0
         self.camera = Camera.create(np.eye(4, dtype=np.float32), cfg.fx,
                                     cfg.fy, cfg.cx, cfg.cy, cfg.width,
@@ -358,6 +369,7 @@ class MappingTrainer:
             downsample=self.cfg.pcd_downsample,
             point_size=self.cfg.point_size,
             adaptive_pointsize=self.cfg.adaptive_pointsize)
+        self._refresh_visible_cap()
         return idx
 
     def _check_pair_truncation(self):
@@ -376,12 +388,18 @@ class MappingTrainer:
         # escalate on the worst step seen for each counter
         dropped = int(arrs[:, 0].max())
         trunc = int(arrs[:, 1].max())
-        if dropped == 0:
+        vis = int(arrs[:, 2].max()) if arrs.shape[1] > 2 else 0
+        if dropped == 0 and vis == 0:
             return
         import dataclasses
         import warnings
         old = self.cfg
         changes = {}
+        if vis > 0:
+            # the active-set tier overflowed (should be prevented by
+            # _refresh_visible_cap at every alive-changing point; belt and
+            # braces): drop the cap entirely and let the refresh re-tier
+            changes["visible_cap"] = None
         if trunc > 0:
             # some Gaussian overflowed the giant-splat extension tiers (or
             # didn't get an extension slot): grow both tier pools AND the
@@ -407,10 +425,44 @@ class MappingTrainer:
         self.cfg = dataclasses.replace(old, **changes)
         warnings.warn(
             f"rasterizer dropped {dropped} (gaussian, tile) pairs "
-            f"({trunc} to per-Gaussian tile caps) at iter {self.iteration}; "
+            f"({trunc} to per-Gaussian tile caps, {vis} visible Gaussians "
+            f"beyond the active-set tier) at iter {self.iteration}; "
             f"escalating {changes} (recompiles the step)")
         self._mapping_step = make_mapping_step(self.cfg)
         self._refine_step = make_refinement_step(self.cfg)
+
+    # active-set tier fractions of capacity; the glue savings flatten out
+    # above 3/4 (alive <= 0.75 * capacity by the growth policy anyway)
+    _VIS_TIERS = (0.375, 0.5, 0.625, 0.75)
+
+    def _refresh_visible_cap(self):
+        """Keep cfg.visible_cap at the smallest capacity-fraction tier above
+        the alive count + insertion headroom. Called at every point where
+        the alive count can change (init, keyframe insertion, densify), so
+        n_vis_dropped stays zero by construction; tier changes recompile the
+        step like the other cap escalations. Hysteresis: a cap that still
+        covers the need is kept even when a smaller tier would do (e.g.
+        after pruning) — shrinking only trims glue time, never correctness,
+        and each recompile costs ~100 s, which dominated the quality-gate
+        wall before this guard."""
+        cap = self.scene.capacity
+        alive = int(self.scene.num_alive)
+        need = alive + max(2048, alive // 16)
+        cur = self.cfg.visible_cap
+        if cur is not None and need <= cur <= cap:
+            return
+        new = None
+        for frac in self._VIS_TIERS:
+            k = (int(cap * frac) // 128) * 128
+            k = k + 640 if k % 1024 == 0 else k   # off-1024 (pairs.py note)
+            if k >= need:
+                new = min(k, cap)
+                break
+        if new != self.cfg.visible_cap:
+            import dataclasses
+            self.cfg = dataclasses.replace(self.cfg, visible_cap=new)
+            self._mapping_step = make_mapping_step(self.cfg)
+            self._refine_step = make_refinement_step(self.cfg)
 
     def _maybe_grow(self):
         cap = self.scene.capacity
@@ -475,6 +527,7 @@ class MappingTrainer:
                         percent_dense=cfg.percent_dense,
                         primitive_reg=cfg.primitive_reg,
                         marker_thresh=cfg.marker_thresh))
+                self._refresh_visible_cap()
             elif self.iteration % cfg.gaussian_reset == 0:
                 self.scene, self.opt_state = densify.reset_opacity_nonvisible(
                     self.scene, self.opt_state, vis_union)

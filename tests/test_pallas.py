@@ -277,3 +277,32 @@ def test_power_keep_eps_scales_with_coefficients():
     assert eps[0] >= mag * 2.0 ** -14 * 0.999      # documented bound
     assert eps[0] > 0.05                           # >> the old fixed 1e-5
     assert eps[1] == pr._POWER_KEEP_EPS            # floor for inert pairs
+
+
+def test_visible_cap_exact_and_counted(rng):
+    """cfg.visible_cap slices the depth-sorted active set: with K >= the
+    visible count the render and ALL grads are bit-identical to uncapped
+    (invisible Gaussians sort to the end), and with K below it the overflow
+    is surfaced via n_vis_dropped (the trainer's tier-escalation signal)."""
+    sc = make_scene(rng, 300)
+    cam = make_camera()
+    alive = jnp.arange(300) < 200
+
+    def run(cfg):
+        def loss(args):
+            out = rasterize(*args, cam, cfg, alive=alive)
+            return jnp.sum(out.image ** 2), out
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(sc)
+        return out, g
+
+    out0, g0 = run(CFG_P)
+    out1, g1 = run(CFG_P.replace(visible_cap=256))
+    assert int(out1.n_vis_dropped) == 0
+    np.testing.assert_array_equal(np.asarray(out0.image),
+                                  np.asarray(out1.image))
+    for a, b in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out2, _ = run(CFG_P.replace(visible_cap=128))
+    assert int(out2.n_vis_dropped) > 0
+    assert bool(jnp.isfinite(out2.image).all())

@@ -206,3 +206,36 @@ def test_mapping_no_nans_long(rng):
         arr = np.asarray(getattr(t.scene, k))
         alive = np.asarray(t.scene.alive)
         assert np.isfinite(arr[alive]).all(), k
+
+
+def test_visible_cap_tiering(rng):
+    """The trainer keeps cfg.visible_cap at the smallest capacity-fraction
+    tier above the alive count (+headroom) at every alive-changing point,
+    and no step ever reports visible Gaussians dropped to it."""
+    cfg = MappingConfig(width=48, height=36, fx=40.0, fy=40.0, cx=24.0,
+                        cy=18.0, window_size=2, tile_chunk=3,
+                        max_per_tile=256, kp_budget=64, nonkp_budget=512,
+                        pcd_downsample=2, gaussian_update_every=10,
+                        gaussian_update_offset=5, gaussian_th=0.3,
+                        gaussian_reset=10 ** 9)
+    trainer = MappingTrainer(cfg, capacity=4096, frame_capacity=8)
+    assert trainer.cfg.visible_cap is not None        # tiered at init
+    for rgb, dep, score, w2c in _synthetic_frames(rng, cfg):
+        trainer.add_keyframe(rgb, dep, score, w2c)
+        alive = int(trainer.scene.num_alive)
+        k = trainer.cfg.visible_cap
+        assert k is None or k >= alive, (k, alive)
+    trainer.map(iters=12)                             # through one densify
+    alive = int(trainer.scene.num_alive)
+    k = trainer.cfg.visible_cap
+    assert k is None or k >= alive, (k, alive)
+    # every step's overflow counter must be zero (pending list holds
+    # [dropped, trunc, vis] per step since the last densify check)
+    for arr in trainer._pending_dropped:
+        assert int(np.asarray(arr)[2]) == 0
+    # hysteresis: a cap that still covers the need is kept — refreshing
+    # without an alive-count change must not swap out the compiled step
+    step_fn = trainer._mapping_step
+    trainer._refresh_visible_cap()
+    assert trainer.cfg.visible_cap == k
+    assert trainer._mapping_step is step_fn

@@ -94,7 +94,8 @@ def main():
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
             name = e["name"]
-            if name.isdigit() or name.startswith("jit_"):
+            if (name.isdigit() or name.startswith("jit_")
+                    or name.startswith("while")):
                 continue
             durs[name] += e.get("dur", 0)
             counts[name] += 1
@@ -104,7 +105,8 @@ def main():
                 details[name] = str(info)[:150]
     spans = sorted((e["ts"], e["ts"] + e.get("dur", 0)) for e in events
                    if e.get("ph") == "X" and e.get("pid") in dev_pids
-                   and not (e["name"].isdigit() or e["name"].startswith("jit_")))
+                   and not (e["name"].isdigit() or e["name"].startswith("jit_")
+                            or e["name"].startswith("while")))
     # merge overlapping spans, then gaps = silence on the device timeline
     merged = []
     for s, e in spans:
@@ -124,7 +126,9 @@ def main():
           f"{[int(g) for g, _ in biggest[:10]]}", flush=True)
     # name the op just before each of the biggest gaps (what stalls on what)
     ends = sorted((e["ts"] + e.get("dur", 0), e["name"]) for e in events
-                  if e.get("ph") == "X" and e.get("pid") in dev_pids)
+                  if e.get("ph") == "X" and e.get("pid") in dev_pids
+                  and not (e["name"].isdigit() or e["name"].startswith("jit_")
+                           or e["name"].startswith("while")))
     import bisect
     for g, at in biggest[:6]:
         i = bisect.bisect_right([x for x, _ in ends], at) - 1

@@ -54,7 +54,11 @@ def main():
         opacity=s.opacity.at[idx].set(1.0),
         alive=s.alive.at[idx].set(True))
     trainer.scene = s
-    print(f"alive {int(trainer.scene.num_alive)}", file=sys.stderr, flush=True)
+    # the synthetic fill bypasses add_keyframe, so re-tier the active-set
+    # cap for the new alive count (the real pipeline does this on insertion)
+    trainer._refresh_visible_cap()
+    print(f"alive {int(trainer.scene.num_alive)}, visible_cap "
+          f"{trainer.cfg.visible_cap}", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     trainer.map(1)
