@@ -59,7 +59,8 @@ def resolve_caps(cfg: RasterConfig, n: int,
     if max_tiles is None:
         max_tiles = cfg.max_tiles
     if pair_cap is None:
-        pair_cap = cfg.pair_cap_factor * n
+        pair_cap = (cfg.pair_cap_override if cfg.pair_cap_override
+                    else cfg.pair_cap_factor * n)
     pair_cap = int(np.ceil(pair_cap / ALIGN)) * ALIGN
     return max_tiles, pair_cap
 
@@ -273,6 +274,24 @@ def pair_stats(xy, radius, visible, width: int, height: int,
     kept = jnp.sum(jnp.clip(cap_al - astarts, 0, counts))
     total_valid = jnp.sum(m_tot)
     return kept, n_trunc + (total_valid - kept), n_trunc
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def pair_need(xy, radius, visible, width: int, height: int,
+              cfg: RasterConfig):
+    """Exact 128-aligned pair-array length this scene needs under ``cfg``
+    with NO drops (sum of per-tile aligned segment sizes, uncapped) — the
+    probe behind probe-driven static caps (RasterConfig.pair_cap_override):
+    measure once on a representative frame, then compile the hot program
+    with a zero-slack pair array. Pass the result MINUS the T*ALIGN fill
+    reserve as the override (cap arithmetic adds the reserve back)."""
+    N = xy.shape[0]
+    max_tiles, _ = resolve_caps(cfg, N)
+    geo = _counts_and_geometry(xy, radius, visible, width, height, cfg,
+                               max_tiles)
+    counts = geo[7]
+    asize = ((counts + ALIGN - 1) // ALIGN) * ALIGN
+    return jnp.sum(asize)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg",

@@ -772,6 +772,15 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     return acc[:T], pr, gpair
 
 
+# Grad-slab init experiment: "alias_zeros" aliases a zeros array into the
+# output so the never-written slack tail past the last tile segment reads as
+# zero; "undef" skips the init — tail garbage provably lands only in the
+# sentinel rank's run of the reduction (tail keys are i32_max -> pair_idx N,
+# which sorts last) and the run-end validity mask discards it. Module-level
+# so tools/exp_bwd_glue.py can flip it per-variant on chip.
+BWD_INIT = "alias_zeros"
+
+
 def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
                     rows, cfg, interpret):
     """Invoke the backward kernel over T tiles -> grad_pairs [PC, 128]
@@ -783,17 +792,26 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
                                alpha_max=cfg.alpha_max,
                                alpha_min=cfg.alpha_min,
                                t_eps=cfg.transmittance_eps, n_tiles=T)
+    alias = BWD_INIT == "alias_zeros" or interpret
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),              # gpair
+        pl.BlockSpec((1, P, C + 4), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),             # fwd out
+        pl.BlockSpec((1, P, C + 2), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),             # cotangent
+    ]
+    operands = [starts, counts, origins, gpair, fwd_out, cot]
+    if alias:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # zeros (alias)
+        operands.append(jnp.zeros((PC, 128), jnp.float32))
+        kern = kernel
+    else:
+        def kern(s, c, o, gp, f, ct, gout, *scratch, **kw):
+            return kernel(s, c, o, gp, f, ct, None, gout, *scratch, **kw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),              # gpair
-            pl.BlockSpec((1, P, C + 4), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),             # fwd out
-            pl.BlockSpec((1, P, C + 2), lambda t, *_: (t, 0, 0),
-                         memory_space=pltpu.VMEM),             # cotangent
-            pl.BlockSpec(memory_space=pltpu.HBM),              # zeros (alias)
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
@@ -803,14 +821,20 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
             pltpu.SMEM((1,), jnp.int32),
         ],
     )
-    gzero = jnp.zeros((PC, 128), jnp.float32)
     return pl.pallas_call(
-        kernel, grid_spec=grid_spec,
+        kern, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((PC, 128), jnp.float32),
-        input_output_aliases={6: 0},
+        input_output_aliases={6: 0} if alias else {},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(starts, counts, origins, gpair, fwd_out, cot, gzero)
+    )(*operands)
+
+
+# Rank-sort gather layout experiment: "full" gathers the whole 128-lane
+# pair-major rows then slices to ``rows``; "sliced" fuses the lane slice
+# into the gather operand (XLA may emit a narrower output). Module-level so
+# tools/exp_bwd_glue.py can flip it per-variant on chip.
+RANK_GATHER = "full"
 
 
 def _reduce_to_gauss(grad_pairs, pair_idx, per_rank_counts, n, C, kmax,
@@ -840,7 +864,10 @@ def _reduce_to_gauss(grad_pairs, pair_idx, per_rank_counts, n, C, kmax,
     # in lanes 0..rows): the gather reads contiguous rows ({1,0} operand
     # AND output — measured ~5x faster than the attr-major-source form XLA
     # lowers to strided element reads)
-    gperm = jnp.take(grad_pairs, perm, axis=0)[:, :rows]      # [PC, rows]
+    if RANK_GATHER == "sliced":
+        gperm = jnp.take(grad_pairs[:, :rows], perm, axis=0)  # [PC, rows]
+    else:
+        gperm = jnp.take(grad_pairs, perm, axis=0)[:, :rows]  # [PC, rows]
     # attribute-major for the scan: every step is a lane-axis roll. The
     # pass-through kernel pins the scan operand to the COMPACT canonical
     # [rows, PC] layout: left to itself XLA may run the whole scan chain on

@@ -38,6 +38,14 @@ class RasterConfig:
     # exceed them surface drops and the trainer auto-escalates.
     max_tiles: int = struct.field(pytree_node=False, default=12)
     pair_cap_factor: int = struct.field(pytree_node=False, default=3)
+    # Probe-driven absolute pair budget (overrides pair_cap_factor * N when
+    # set): measure the scene's exact aligned need once with
+    # pairs.pair_need() minus the T*ALIGN fill reserve, then compile the hot
+    # program with a zero-slack pair array — every pair-proportional op
+    # (kernel slab, rank gather/sort, segscan) shrinks by the former slack.
+    # Drops still surface via n_dropped if the scene outgrows the probe.
+    pair_cap_override: int | None = struct.field(pytree_node=False,
+                                                 default=None)
     # Giant-splat extension (Pallas path): the largest-area Gaussians (by
     # one descending area sort) additionally emit tiles beyond max_tiles in
     # two static tiers — big_k full-grid slots (big_tiles None = whole tile

@@ -306,3 +306,43 @@ def test_visible_cap_exact_and_counted(rng):
     out2, _ = run(CFG_P.replace(visible_cap=128))
     assert int(out2.n_vis_dropped) > 0
     assert bool(jnp.isfinite(out2.image).all())
+
+
+def test_pair_cap_override_zero_slack(rng):
+    """Probe-driven static pair budget (RasterConfig.pair_cap_override):
+    pairs.pair_need measures the scene's exact aligned pair-array need, and
+    compiling with override = need - T*ALIGN yields a ZERO-SLACK pair array
+    whose render and grads are bit-identical to the default budget."""
+    from splatloc_tpu.raster import binning, project
+
+    sc = make_scene(rng, 400)
+    cam = make_camera()
+
+    proj = project.project_gaussians(sc[0], sc[1], sc[2], cam, CFG_P)
+    order = binning.depth_sort(proj)
+    rect_xy = jnp.take(proj.xy, order, axis=0)
+    rect_r = jnp.take(proj.radius, order)
+    rect_v = jnp.take(proj.visible, order)
+    need = int(pairs.pair_need(rect_xy, rect_r, rect_v, cam.width,
+                               cam.height, CFG_P))
+    ts = CFG_P.tile_size
+    T = (-(-cam.width // ts)) * (-(-cam.height // ts))
+    cfg2 = CFG_P.replace(pair_cap_override=max(need - T * pairs.ALIGN, 128))
+    assert pairs.aligned_cap(cfg2, 400, cam.width, cam.height) <= need + 640
+    assert (pairs.aligned_cap(cfg2, 400, cam.width, cam.height)
+            < pairs.aligned_cap(CFG_P, 400, cam.width, cam.height))
+
+    def run(cfg):
+        def loss(args):
+            out = rasterize(*args, cam, cfg)
+            return jnp.sum(out.image ** 2) + jnp.sum(out.depth), out
+        (l, out), g = jax.value_and_grad(loss, has_aux=True)(sc)
+        return out, g
+
+    out0, g0 = run(CFG_P)
+    out1, g1 = run(cfg2)
+    assert int(out1.n_dropped) == 0
+    np.testing.assert_array_equal(np.asarray(out0.image),
+                                  np.asarray(out1.image))
+    for a, b in zip(g0, g1):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
