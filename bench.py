@@ -61,10 +61,13 @@ def _beat(msg: str, t0: float):
 
 
 def child(out_path: str):
+    import dataclasses
+
     import numpy as np
     import jax
     import jax.numpy as jnp
     from splatloc_tpu.core.camera import Camera
+    from splatloc_tpu.raster import binning, pairs, project
     from splatloc_tpu.raster import rasterize, RasterConfig
 
     T0 = time.perf_counter()
@@ -85,10 +88,38 @@ def child(out_path: str):
         cam = Camera.create(np.eye(4, dtype=np.float32), W / 2.0, W / 2.0,
                             W / 2, H / 2, W, H)
         cfg = RasterConfig(tile_size=16, max_per_tile=1024, tile_chunk=64,
-                           use_pallas=True)
+                           use_pallas=True, max_tiles=6)
 
         args = tuple(map(jnp.asarray, (means, scales, quats, opac, colors)))
         tgt = jnp.asarray(target)
+
+        # Probe-driven static caps (the shipped deployment mode, see
+        # RasterConfig.pair_cap_override): one tiny jit measures the scene's
+        # exact aligned pair-array need, then the hot program compiles with
+        # a zero-slack pair array — every pair-proportional op (kernel grad
+        # slab, rank gather/sort, segmented scan) shrinks by the former
+        # slack. Drops still surface via n_dropped if the probe were stale.
+        @jax.jit
+        def probe(means, scales, quats, opac):
+            proj = project.project_gaussians(means, scales, quats, cam, cfg,
+                                             opacities=opac)
+            order = binning.depth_sort(proj)
+            xys = jnp.take(proj.xy, order, axis=0)
+            rxys = jnp.take(proj.radius_xy, order, axis=0)
+            viss = jnp.take(proj.visible, order)
+            return pairs.pair_need(xys, rxys, viss, cam.width, cam.height,
+                                   cfg)
+
+        _beat(f"{tag}: compiling pair-need probe", T0)
+        need = int(jax.block_until_ready(probe(*args[:4])))
+        ts = cfg.tile_size
+        T = (-(-W // ts)) * (-(-H // ts))
+        cfg = dataclasses.replace(
+            cfg, pair_cap_override=max(need - T * pairs.ALIGN, 128))
+        _beat(f"{tag}: probe need={need} -> pair array "
+              f"{pairs.aligned_cap(cfg, N, W, H)} "
+              f"(default {pairs.aligned_cap(dataclasses.replace(cfg, pair_cap_override=None), N, W, H)})",
+              T0)
 
         def loss_fn(means, scales, quats, opac, colors):
             out = rasterize(means, scales, quats, opac, colors, cam, cfg)

@@ -41,11 +41,13 @@ def rasterize_sharded(means3d, scales, quats, opacities, colors,
         interpret = jax.default_backend() == "cpu"
 
     proj = project.project_gaussians(means3d, scales, quats, camera, cfg,
-                                     alive=alive)
+                                     alive=alive,
+                                     opacities=jax.lax.stop_gradient(
+                                         opacities))
     order = binning.depth_sort(proj)
     acc, n_dropped, n_trunc, n_vis_dropped = pallas_raster.blend_pairs(
         proj.xy, proj.conic, opacities, proj.depth, colors,
-        jax.lax.stop_gradient(proj.radius),
+        jax.lax.stop_gradient(proj.radius_xy),
         jax.lax.stop_gradient(proj.visible.astype(jnp.float32)),
         order.astype(jnp.float32),
         camera.width, camera.height, cfg, interpret, mesh, axis)

@@ -42,7 +42,9 @@ def rasterize(
 
     proj = project.project_gaussians(means3d, scales, quats, camera, cfg,
                                      alive=alive,
-                                     scaling_modifier=scaling_modifier)
+                                     scaling_modifier=scaling_modifier,
+                                     opacities=jax.lax.stop_gradient(
+                                         opacities))
     if means2d_offset is not None:
         proj = proj.replace(xy=proj.xy + means2d_offset)
 
@@ -53,7 +55,7 @@ def rasterize(
         interpret = jax.default_backend() == "cpu"
         acc, n_dropped, n_trunc, n_vis_dropped = pallas_raster.blend_pairs(
             proj.xy, proj.conic, opacities, proj.depth, colors,
-            jax.lax.stop_gradient(proj.radius),
+            jax.lax.stop_gradient(proj.radius_xy),
             jax.lax.stop_gradient(proj.visible.astype(jnp.float32)),
             order.astype(jnp.float32),
             camera.width, camera.height, cfg, interpret)

@@ -48,10 +48,11 @@ def tile_lists(
     visible = proj.visible[order]
     u, v = xy[:, 0], xy[:, 1]
     tsf = float(ts)
+    # exclusive max = floor((u + r)/ts) + 1 (see pairs._tile_rects note)
     rminx = jnp.clip(jnp.floor((u - radius) / tsf), 0, gx).astype(jnp.int32)
-    rmaxx = jnp.clip(jnp.floor((u + radius + tsf - 1) / tsf), 0, gx).astype(jnp.int32)
+    rmaxx = jnp.clip(jnp.floor((u + radius) / tsf) + 1, 0, gx).astype(jnp.int32)
     rminy = jnp.clip(jnp.floor((v - radius) / tsf), 0, gy).astype(jnp.int32)
-    rmaxy = jnp.clip(jnp.floor((v + radius + tsf - 1) / tsf), 0, gy).astype(jnp.int32)
+    rmaxy = jnp.clip(jnp.floor((v + radius) / tsf) + 1, 0, gy).astype(jnp.int32)
 
     tile_ids = jnp.arange(T, dtype=jnp.int32)
     tx = tile_ids % gx

@@ -38,17 +38,26 @@ ALIGN = 128
 _I32_MAX = np.iinfo(np.int32).max
 
 
-def _tile_rects(xy, radius, width, height, ts):
-    """Per-Gaussian touched-tile rectangle (clipped to the tile grid)."""
+def _tile_rects(xy, radius_xy, width, height, ts):
+    """Per-Gaussian touched-tile rectangle (clipped to the tile grid).
+    radius_xy [N, 2] carries per-axis extents (the opacity-aware ellipse
+    AABB from project.project_gaussians — the reference CUDA getRect uses a
+    3 sigma_max square, which for anisotropic splats emits tiles whose every
+    pixel blends to exactly zero)."""
     gx = -(-width // ts)
     gy = -(-height // ts)
     u, v = xy[:, 0], xy[:, 1]
+    rx, ry = radius_xy[:, 0], radius_xy[:, 1]
     tsf = float(ts)
-    rminx = jnp.clip(jnp.floor((u - radius) / tsf), 0, gx).astype(jnp.int32)
-    rmaxx = jnp.clip(jnp.floor((u + radius + tsf - 1) / tsf), 0,
+    # exclusive max = floor((u + r)/ts) + 1: the last tile with any pixel
+    # center <= u + r. (floor((u + r + ts - 1)/ts) misses that tile when
+    # frac(u + r) < 1 — invisible with integer-ceiled radii that are
+    # identical in every path, wrong for fractional AABB extents.)
+    rminx = jnp.clip(jnp.floor((u - rx) / tsf), 0, gx).astype(jnp.int32)
+    rmaxx = jnp.clip(jnp.floor((u + rx) / tsf) + 1, 0,
                      gx).astype(jnp.int32)
-    rminy = jnp.clip(jnp.floor((v - radius) / tsf), 0, gy).astype(jnp.int32)
-    rmaxy = jnp.clip(jnp.floor((v + radius + tsf - 1) / tsf), 0,
+    rminy = jnp.clip(jnp.floor((v - ry) / tsf), 0, gy).astype(jnp.int32)
+    rmaxy = jnp.clip(jnp.floor((v + ry) / tsf) + 1, 0,
                      gy).astype(jnp.int32)
     return rminx, rmaxx, rminy, rmaxy
 
@@ -111,10 +120,11 @@ def aligned_cap(cfg: RasterConfig, n: int, width: int, height: int) -> int:
     return _cap_al(cfg, n, width, height, pair_cap, max_tiles)
 
 
-def _emission(xy, radius, visible, width, height, ts, max_tiles):
+def _emission(xy, radius_xy, visible, width, height, ts, max_tiles):
     """Shared emitted-tile-set geometry: each visible Gaussian emits the
     first m = min(area, max_tiles) cells of its rect in row-major order."""
-    rminx, rmaxx, rminy, rmaxy = _tile_rects(xy, radius, width, height, ts)
+    rminx, rmaxx, rminy, rmaxy = _tile_rects(xy, radius_xy, width, height,
+                                             ts)
     aw = rmaxx - rminx
     ah = rmaxy - rminy
     area = aw * ah
@@ -230,7 +240,7 @@ def _big_extension(area, visible, rminx, rminy, aw, awc, m,
     return ids, m_ext, geo
 
 
-def _counts_and_geometry(xy, radius, visible, width, height, cfg,
+def _counts_and_geometry(xy, radius_xy, visible, width, height, cfg,
                          max_tiles):
     """Shared between pair_stats and build_pairs: emission geometry, exact
     per-tile counts (dense + giant-splat extension tiers), per-rank totals,
@@ -242,7 +252,7 @@ def _counts_and_geometry(xy, radius, visible, width, height, cfg,
     G = gxp * (gy + 1)
     N = xy.shape[0]
     rminx, rminy, aw, awc, m, area, n_trunc = _emission(
-        xy, radius, visible, width, height, ts, max_tiles)
+        xy, radius_xy, visible, width, height, ts, max_tiles)
     ids = _corner_blocks(rminx, rminy, aw, awc, m, G, gxp, False)
     tiers = extension_tiers(cfg, N, width, height)
     geo = []
@@ -258,14 +268,14 @@ def _counts_and_geometry(xy, radius, visible, width, height, cfg,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
-def pair_stats(xy, radius, visible, width: int, height: int,
+def pair_stats(xy, radius_xy, visible, width: int, height: int,
                cfg: RasterConfig):
     """Exact (n_pairs_kept, n_dropped, n_trunc) of build_pairs without the
     main sort (same corner-histogram counts + the same cap arithmetic)."""
     N = xy.shape[0]
     max_tiles, pair_cap = resolve_caps(cfg, N)
     gx, gy, *_rest = geo = _counts_and_geometry(
-        xy, radius, visible, width, height, cfg, max_tiles)
+        xy, radius_xy, visible, width, height, cfg, max_tiles)
     m_tot, counts, n_trunc = geo[6], geo[7], geo[8]
     cap_al = _cap_al(cfg, N, width, height, pair_cap, max_tiles)
     asize = ((counts + ALIGN - 1) // ALIGN) * ALIGN
@@ -277,7 +287,7 @@ def pair_stats(xy, radius, visible, width: int, height: int,
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
-def pair_need(xy, radius, visible, width: int, height: int,
+def pair_need(xy, radius_xy, visible, width: int, height: int,
               cfg: RasterConfig):
     """Exact 128-aligned pair-array length this scene needs under ``cfg``
     with NO drops (sum of per-tile aligned segment sizes, uncapped) — the
@@ -287,8 +297,8 @@ def pair_need(xy, radius, visible, width: int, height: int,
     reserve as the override (cap arithmetic adds the reserve back)."""
     N = xy.shape[0]
     max_tiles, _ = resolve_caps(cfg, N)
-    geo = _counts_and_geometry(xy, radius, visible, width, height, cfg,
-                               max_tiles)
+    geo = _counts_and_geometry(xy, radius_xy, visible, width, height,
+                               cfg, max_tiles)
     counts = geo[7]
     asize = ((counts + ALIGN - 1) // ALIGN) * ALIGN
     return jnp.sum(asize)
@@ -296,7 +306,7 @@ def pair_need(xy, radius, visible, width: int, height: int,
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "cfg",
                                              "max_tiles", "pair_cap"))
-def build_pairs(xy, radius, visible, width: int, height: int,
+def build_pairs(xy, radius_xy, visible, width: int, height: int,
                 cfg: RasterConfig, max_tiles: int | None = None,
                 pair_cap: int | None = None):
     """Inputs are depth-sorted per-Gaussian screen quantities.
@@ -320,8 +330,8 @@ def build_pairs(xy, radius, visible, width: int, height: int,
     cap_al = _cap_al(cfg, N, width, height, pair_cap, max_tiles)
 
     (gx, gy, rminx, rminy, awc, m, m_tot, counts, n_trunc,
-     geo) = _counts_and_geometry(xy, radius, visible, width, height, cfg,
-                                 max_tiles)
+     geo) = _counts_and_geometry(xy, radius_xy, visible, width, height,
+                                 cfg, max_tiles)
 
     # per-tile filler population so every segment is a 128-multiple
     fill = (-counts) % ALIGN

@@ -701,10 +701,11 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     n_vis_dropped = jnp.maximum(n_vis - K, 0)
     order = order[:K]
 
-    # one [K,4] row gather for the rect quantities: three separate 1-D
-    # [order] gathers measured ~1.7 ms/iter at 100k (XLA 1-D gathers run at
-    # ~150M elem/s) while a 4-wide row gather is ~0.15 ms
-    rect = jnp.take(jnp.stack([xy[:, 0], xy[:, 1], radius,
+    # one [K,5] row gather for the rect quantities: separate 1-D [order]
+    # gathers measured ~1.7 ms/iter at 100k (XLA 1-D gathers run at
+    # ~150M elem/s) while a row gather is ~0.15 ms
+    rect = jnp.take(jnp.stack([xy[:, 0], xy[:, 1], radius[:, 0],
+                               radius[:, 1],
                                visible.astype(jnp.float32)], axis=-1),
                     order, axis=0)
     order_p = jnp.concatenate([order.astype(jnp.int32),
@@ -713,8 +714,8 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
                           depth, colors, order_p)
 
     if mesh is None:
-        pr = pairs_mod.build_pairs(rect[:, :2], rect[:, 2], rect[:, 3] > 0.5,
-                                   width, height, cfg)
+        pr = pairs_mod.build_pairs(rect[:, :2], rect[:, 2:4],
+                                   rect[:, 4] > 0.5, width, height, cfg)
         gpair = _gather_pairs(per_gs, jnp.minimum(pr["pair_idx"], K))
         out = _run_fwd_kernel(pr["starts"], pr["counts"],
                               jnp.asarray(origins), gpair, T, P, C, rows,
@@ -751,8 +752,8 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
         d = jax.lax.axis_index(axis)
         y0 = (d * H_local).astype(jnp.float32)
         xy_local = jnp.stack([rect_[:, 0], rect_[:, 1] - y0], -1)
-        p = pairs_mod.build_pairs(xy_local, rect_[:, 2], rect_[:, 3] > 0.5,
-                                  width, H_local, cfg,
+        p = pairs_mod.build_pairs(xy_local, rect_[:, 2:4],
+                                  rect_[:, 4] > 0.5, width, H_local, cfg,
                                   pair_cap=pair_cap_local)
         g = _gather_pairs(per_gs_, jnp.minimum(p["pair_idx"], K))
         acc = _run_fwd_kernel(p["starts"], p["counts"], o.reshape(-1), g,

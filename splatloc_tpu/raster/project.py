@@ -66,6 +66,7 @@ def project_gaussians(
     cfg: RasterConfig,
     alive: jax.Array | None = None,   # [N] bool
     scaling_modifier: float = 1.0,
+    opacities: jax.Array | None = None,  # [N] activated; tightens radius_xy
 ) -> Projected:
     w2c = camera.w2c
     R_cw = w2c[:3, :3]
@@ -146,11 +147,34 @@ def project_gaussians(
     gx = -(-camera.width // cfg.tile_size)
     gy = -(-camera.height // cfg.tile_size)
     rect_min_x = jnp.clip(jnp.floor((u - radius) / ts), 0, gx)
-    rect_max_x = jnp.clip(jnp.floor((u + radius + ts - 1) / ts), 0, gx)
+    rect_max_x = jnp.clip(jnp.floor((u + radius) / ts) + 1, 0, gx)
     rect_min_y = jnp.clip(jnp.floor((v - radius) / ts), 0, gy)
-    rect_max_y = jnp.clip(jnp.floor((v + radius + ts - 1) / ts), 0, gy)
+    rect_max_y = jnp.clip(jnp.floor((v + radius) / ts) + 1, 0, gy)
     nonempty = (rect_max_x - rect_min_x) * (rect_max_y - rect_min_y) > 0
     visible = visible & nonempty
 
     radius = jnp.where(visible, radius, 0.0)
-    return Projected(xy=xy, depth=z, conic=conic, radius=radius, visible=visible)
+
+    # Per-axis binning extents: the reference CUDA getRect bins the SQUARE
+    # of the max eigenvalue (3 sigma_max both axes), so anisotropic splats
+    # emit tiles whose every pixel blends to exactly zero. The tight rect is
+    # the ellipse's axis-aligned bounding box at the opacity-aware cutoff
+    # alpha >= alpha_min: Q(p) = 2 ln(op/alpha_min) has x-extent
+    # sqrt(c)*sigma_x (sigma_x^2 = blurred c00). Intersecting with the
+    # square radius keeps the pair set EXACTLY output-preserving both ways:
+    # every pixel of a tile the AABB excludes has alpha < alpha_min (zeroed
+    # identically by the Pallas kernels and the XLA oracle), and no tile
+    # outside the reference square is added. The 0.05 slack on c absorbs
+    # f32 rounding at the alpha_min boundary.
+    if opacities is not None:
+        c_cut = 2.0 * jnp.log(jnp.maximum(opacities, 1e-12)
+                              / cfg.alpha_min) + 0.05
+        s_cut = jnp.sqrt(jnp.maximum(c_cut, 0.0))
+        rx = jnp.minimum(s_cut * jnp.sqrt(jnp.maximum(c00, 0.0)), radius)
+        ry = jnp.minimum(s_cut * jnp.sqrt(jnp.maximum(c11, 0.0)), radius)
+        radius_xy = jnp.stack([rx, ry], axis=-1)
+        radius_xy = jnp.where(visible[:, None], radius_xy, 0.0)
+    else:
+        radius_xy = jnp.stack([radius, radius], axis=-1)
+    return Projected(xy=xy, depth=z, conic=conic, radius=radius,
+                     visible=visible, radius_xy=radius_xy)

@@ -45,10 +45,11 @@ def rasterize_reference(means3d, scales, quats, opacities, colors, camera: Camer
     gx = -(-camera.width // cfg.tile_size)
     gy = -(-camera.height // cfg.tile_size)
     radius = proj.radius[order]
+    # exclusive max = floor((u + r)/ts) + 1 (see pairs._tile_rects note)
     rminx = jnp.clip(jnp.floor((xy[:, 0] - radius) / ts), 0, gx)
-    rmaxx = jnp.clip(jnp.floor((xy[:, 0] + radius + ts - 1) / ts), 0, gx)
+    rmaxx = jnp.clip(jnp.floor((xy[:, 0] + radius) / ts) + 1, 0, gx)
     rminy = jnp.clip(jnp.floor((xy[:, 1] - radius) / ts), 0, gy)
-    rmaxy = jnp.clip(jnp.floor((xy[:, 1] + radius + ts - 1) / ts), 0, gy)
+    rmaxy = jnp.clip(jnp.floor((xy[:, 1] + radius) / ts) + 1, 0, gy)
     ptx = jnp.floor(px / ts)[None, :]
     pty = jnp.floor(py / ts)[None, :]
     in_rect = ((rminx[:, None] <= ptx) & (ptx < rmaxx[:, None])

@@ -105,5 +105,10 @@ class Projected:
     xy: jax.Array           # [N, 2] pixel coords (integer-center grid)
     depth: jax.Array        # [N]    view-space z
     conic: jax.Array        # [N, 3] inverse 2D covariance (a, b, c)
-    radius: jax.Array       # [N]    float radius in pixels (0 => culled)
+    radius: jax.Array       # [N]    float radius in pixels (0 => culled);
+    #                                reference semantics (3 sigma_max square)
     visible: jax.Array      # [N]    bool
+    radius_xy: jax.Array    # [N, 2] per-axis binning extents: the ellipse
+    #                                AABB at the alpha_min cutoff intersected
+    #                                with the square radius (== radius when
+    #                                opacities were not given to projection)

@@ -38,7 +38,7 @@ def test_build_pairs_counts(rng):
     proj = project.project_gaussians(means, scales, quats, cam, CFG_X)
     order = binning.depth_sort(proj)
     lists, counts_x, _ = binning.tile_lists(proj, order, W, H, CFG_X)
-    pr = pairs.build_pairs(proj.xy[order], proj.radius[order],
+    pr = pairs.build_pairs(proj.xy[order], proj.radius_xy[order],
                            proj.visible[order], W, H, CFG_X)
     np.testing.assert_array_equal(np.asarray(pr["counts"]),
                                   np.asarray(counts_x))
@@ -147,14 +147,14 @@ def test_giant_splat_extension(rng):
     cfg_small = CFG_X.replace(max_tiles=4, big_k=8)
     proj = project.project_gaussians(means, scales, quats, cam, cfg_small)
     order = binning.depth_sort(proj)
-    pr = pairs.build_pairs(proj.xy[order], proj.radius[order],
+    pr = pairs.build_pairs(proj.xy[order], proj.radius_xy[order],
                            proj.visible[order], W, H, cfg_small)
     area_max = int(jnp.max((proj.radius * 2 / cfg_small.tile_size + 2) ** 2))
     assert area_max > 4          # the scene genuinely exceeds max_tiles
     assert int(pr["n_dropped"]) == 0
     assert int(pr["n_trunc"]) == 0
     # stats agree with the sort-based builder
-    kept, nd, nt = pairs.pair_stats(proj.xy, proj.radius, proj.visible,
+    kept, nd, nt = pairs.pair_stats(proj.xy, proj.radius_xy, proj.visible,
                                     W, H, cfg_small)
     assert int(nd) == 0 and int(nt) == 0
     assert int(kept) == int(jnp.sum(pr["counts"]))
@@ -185,7 +185,7 @@ def test_truncation_reported_when_extension_exhausted(rng):
     cam = make_camera()
     cfg = CFG_X.replace(max_tiles=4, big_k=0)
     proj = project.project_gaussians(means, scales, quats, cam, cfg)
-    _, nd, nt = pairs.pair_stats(proj.xy, proj.radius, proj.visible,
+    _, nd, nt = pairs.pair_stats(proj.xy, proj.radius_xy, proj.visible,
                                  W, H, cfg)
     assert int(nt) > 0
     assert int(nd) >= int(nt)
@@ -202,7 +202,7 @@ def test_render_output_drop_counters_match_pair_stats(rng):
     cfg = CFG_P.replace(max_tiles=4, big_k=0)    # force some truncation
     out = rasterize(means, scales, quats, opac, colors, cam, cfg)
     proj = project.project_gaussians(means, scales, quats, cam, cfg)
-    _, nd, nt = pairs.pair_stats(proj.xy, proj.radius, proj.visible,
+    _, nd, nt = pairs.pair_stats(proj.xy, proj.radius_xy, proj.visible,
                                  W, H, cfg)
     assert int(out.n_dropped) == int(nd)
     assert int(out.n_trunc) == int(nt)
@@ -321,7 +321,7 @@ def test_pair_cap_override_zero_slack(rng):
     proj = project.project_gaussians(sc[0], sc[1], sc[2], cam, CFG_P)
     order = binning.depth_sort(proj)
     rect_xy = jnp.take(proj.xy, order, axis=0)
-    rect_r = jnp.take(proj.radius, order)
+    rect_r = jnp.take(proj.radius_xy, order, axis=0)
     rect_v = jnp.take(proj.visible, order)
     need = int(pairs.pair_need(rect_xy, rect_r, rect_v, cam.width,
                                cam.height, CFG_P))
@@ -346,3 +346,56 @@ def test_pair_cap_override_zero_slack(rng):
                                   np.asarray(out1.image))
     for a, b in zip(g0, g1):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_aabb_binning_output_preserving(rng):
+    """The opacity-aware ellipse-AABB binning rect (project.radius_xy) must
+    emit strictly fewer pairs than the reference square-radius rect for
+    anisotropic splats while leaving the render and gradients EXACTLY
+    unchanged: every tile the AABB excludes has alpha < alpha_min at all its
+    pixels, which both the Pallas kernels and the XLA oracle zero."""
+    means, scales, quats, opac, colors = make_scene(rng, 200)
+    # make splats strongly anisotropic and opaque (worst case for the cull)
+    scales = scales.at[:, 0].mul(6.0)
+    opac = jnp.clip(opac * 1.05, 0.05, 0.98)
+    cam = make_camera()
+
+    proj = project.project_gaussians(means, scales, quats, cam, CFG_P,
+                                     opacities=opac)
+    sq = jnp.stack([proj.radius, proj.radius], -1)
+    kept_sq, _, _ = pairs.pair_stats(proj.xy, sq, proj.visible, W, H, CFG_P)
+    kept_ab, _, _ = pairs.pair_stats(proj.xy, proj.radius_xy, proj.visible,
+                                     W, H, CFG_P)
+    assert int(kept_ab) < int(kept_sq), (int(kept_ab), int(kept_sq))
+
+    out_x = rasterize(means, scales, quats, opac, colors, cam, CFG_X)
+    out_p = rasterize(means, scales, quats, opac, colors, cam, CFG_P)
+    np.testing.assert_allclose(np.asarray(out_p.image),
+                               np.asarray(out_x.image), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out_p.depth),
+                               np.asarray(out_x.depth), atol=5e-4)
+
+    def loss(cfg):
+        def f(means, scales, quats, opac):
+            out = rasterize(means, scales, quats, opac, colors, cam, cfg)
+            return jnp.sum(out.image * out.image) + jnp.sum(out.depth)
+        return f
+    g_x = jax.grad(loss(CFG_X), argnums=(0, 1, 2, 3))(means, scales, quats,
+                                                      opac)
+    g_p = jax.grad(loss(CFG_P), argnums=(0, 1, 2, 3))(means, scales, quats,
+                                                      opac)
+    for a, b in zip(g_p, g_x):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4,
+                                   rtol=1e-3)
+
+
+def test_tile_rect_includes_boundary_pixel():
+    """Regression: exclusive-max tile index must be floor((u+r)/ts)+1.
+    floor((u+r+ts-1)/ts) drops the last tile when frac(u+r) < 1 — a pixel
+    at x=32 with u+rx=32.9 lives in tile 2 and must be binned."""
+    xy = jnp.array([[30.57, 24.0]])
+    rxy = jnp.array([[2.35, 2.0]])
+    rminx, rmaxx, rminy, rmaxy = pairs._tile_rects(
+        xy, rxy, W, H, 16)
+    assert int(rmaxx[0]) == 3   # tiles {1, 2}: pixel 32 <= 30.57+2.35
+    assert int(rminx[0]) == 1

@@ -71,11 +71,13 @@ def main():
     def probe(means, scales, quats, opac, colors):
         proj = project.project_gaussians(means, scales, quats, cam, cfg)
         order = binning.depth_sort(proj)
-        rect = jnp.take(jnp.stack([proj.xy[:, 0], proj.xy[:, 1], proj.radius,
+        rect = jnp.take(jnp.stack([proj.xy[:, 0], proj.xy[:, 1],
+                                   proj.radius_xy[:, 0],
+                                   proj.radius_xy[:, 1],
                                    proj.visible.astype(jnp.float32)], -1),
                         order, axis=0)
-        need = pairs_mod.pair_need(rect[:, :2], rect[:, 2],
-                                   rect[:, 3] > 0.5, W, H, cfg)
+        need = pairs_mod.pair_need(rect[:, :2], rect[:, 2:4],
+                                   rect[:, 4] > 0.5, W, H, cfg)
         return need, jnp.sum(proj.visible)
     need, nvis = map(int, jax.block_until_ready(probe(*args)))
     ts = cfg.tile_size

@@ -41,9 +41,30 @@ def main():
 
     cam = Camera.create(np.eye(4, dtype=np.float32), 320.0, 320.0,
                         W / 2, H / 2, W, H)
-    cfg = RasterConfig(use_pallas=True)
+    cfg = RasterConfig(use_pallas=True, max_tiles=6)
     args = tuple(map(jnp.asarray, (means, scales, quats, opac, colors)))
     tgt = jnp.asarray(target)
+
+    # mirror bench.py's probe-driven static pair cap
+    import dataclasses
+    from splatloc_tpu.raster import binning, pairs, project
+
+    @jax.jit
+    def probe(means, scales, quats, opac):
+        proj = project.project_gaussians(means, scales, quats, cam, cfg,
+                                         opacities=opac)
+        order = binning.depth_sort(proj)
+        return pairs.pair_need(jnp.take(proj.xy, order, axis=0),
+                               jnp.take(proj.radius_xy, order, axis=0),
+                               jnp.take(proj.visible, order),
+                               cam.width, cam.height, cfg)
+
+    need = int(jax.block_until_ready(probe(*args[:4])))
+    T_tiles = (-(-W // cfg.tile_size)) * (-(-H // cfg.tile_size))
+    cfg = dataclasses.replace(
+        cfg, pair_cap_override=max(need - T_tiles * pairs.ALIGN, 128))
+    print(f"probe need={need} -> pair array "
+          f"{pairs.aligned_cap(cfg, N, W, H)}", flush=True)
 
     def loss_fn(*a):
         out = rasterize(*a, cam, cfg)
