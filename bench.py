@@ -19,13 +19,18 @@ register() call), and remote compiles take 20s-6min when it is alive. So:
      (import jax + devices() + one tiny jit) under a hard watchdog. While
      the probe fails and budget remains, it retry-polls the probe -- never
      the expensive program.
-  2. Once the tunnel is live, the measurement child runs a STAGED protocol:
-     a fast-compiling 320x240/30k config writes a result JSON as soon as it
-     lands, then the full 640x480/100k number overwrites it if it completes.
-     The parent always prints the best result that landed.
+  2. Once the tunnel is live, the measurement child runs a STAGED protocol
+     in strict result-first order:
+       A. 320x240 / 30k, default caps (fastest compile) -> write result
+       B. 640x480 / 100k, default caps (the headline)   -> overwrite
+       C. 640x480 / 100k, probe-driven zero-slack caps  -> overwrite only
+          if faster; SKIPPED unless >=150s of budget remain (round-3
+          post-mortem: an unbudgeted pair-need probe hung the driver run).
+     A result JSON is on disk the moment stage A lands; later stages only
+     improve it.
   3. The child appends heartbeat lines to a progress file around every
-     phase (compile / warm / timing), so a dead capture is diagnosable from
-     the tail and the parent can tell "compiling" from "hung".
+     phase (compile / warm / timing); the parent kills on a stale
+     heartbeat -- quickly once a result exists, patiently before.
 
 Exactly one JSON line is printed; value 0.0 only if no stage ever landed.
 """
@@ -71,9 +76,11 @@ def child(out_path: str):
     from splatloc_tpu.raster import rasterize, RasterConfig
 
     T0 = time.perf_counter()
+    deadline = float(os.environ.get("BENCH_CHILD_DEADLINE", "0")) or (
+        time.time() + 3600)
     _beat(f"devices: {jax.devices()}", T0)
 
-    def measure(H, W, N, tag):
+    def make_inputs(H, W, N):
         rng = np.random.default_rng(0)
         means = np.stack([
             rng.uniform(-3, 3, N), rng.uniform(-2, 2, N),
@@ -84,21 +91,16 @@ def child(out_path: str):
         opac = rng.uniform(0.3, 0.95, N).astype(np.float32)
         colors = rng.uniform(0, 1, (N, 4)).astype(np.float32)
         target = rng.uniform(0, 1, (H, W, 4)).astype(np.float32)
-
         cam = Camera.create(np.eye(4, dtype=np.float32), W / 2.0, W / 2.0,
                             W / 2, H / 2, W, H)
-        cfg = RasterConfig(tile_size=16, max_per_tile=1024, tile_chunk=64,
-                           use_pallas=True, max_tiles=6)
-
         args = tuple(map(jnp.asarray, (means, scales, quats, opac, colors)))
-        tgt = jnp.asarray(target)
+        return cam, args, jnp.asarray(target)
 
-        # Probe-driven static caps (the shipped deployment mode, see
-        # RasterConfig.pair_cap_override): one tiny jit measures the scene's
-        # exact aligned pair-array need, then the hot program compiles with
-        # a zero-slack pair array — every pair-proportional op (kernel grad
-        # slab, rank gather/sort, segmented scan) shrinks by the former
-        # slack. Drops still surface via n_dropped if the probe were stale.
+    def probe_caps(cam, args, cfg, N, H, W, tag):
+        """Probe-driven static caps (RasterConfig.pair_cap_override): one
+        tiny jit measures the scene's exact aligned pair-array need, then
+        the hot program compiles with a zero-slack pair array. Drops still
+        surface via n_dropped if the probe were stale."""
         @jax.jit
         def probe(means, scales, quats, opac):
             proj = project.project_gaussians(means, scales, quats, cam, cfg,
@@ -117,9 +119,15 @@ def child(out_path: str):
         cfg = dataclasses.replace(
             cfg, pair_cap_override=max(need - T * pairs.ALIGN, 128))
         _beat(f"{tag}: probe need={need} -> pair array "
-              f"{pairs.aligned_cap(cfg, N, W, H)} "
-              f"(default {pairs.aligned_cap(dataclasses.replace(cfg, pair_cap_override=None), N, W, H)})",
-              T0)
+              f"{pairs.aligned_cap(cfg, N, W, H)}", T0)
+        return cfg
+
+    def measure(H, W, N, tag, use_probe=False):
+        cam, args, tgt = make_inputs(H, W, N)
+        cfg = RasterConfig(tile_size=16, max_per_tile=1024, tile_chunk=64,
+                           use_pallas=True, max_tiles=6)
+        if use_probe:
+            cfg = probe_caps(cam, args, cfg, N, H, W, tag)
 
         def loss_fn(means, scales, quats, opac, colors):
             out = rasterize(means, scales, quats, opac, colors, cam, cfg)
@@ -138,9 +146,17 @@ def child(out_path: str):
                 return tuple(p - 1e-12 * gp for p, gp in zip(s, g))
             return jax.lax.fori_loop(0, iters, body, state)
 
+        @jax.jit
+        def drop_count(state):
+            out = rasterize(*state, cam, cfg)
+            return out.n_dropped
+
         _beat(f"{tag}: compiling fwd+bwd grad program ({H}x{W}, {N})", T0)
         jax.block_until_ready(run(args, 1))
-        _beat(f"{tag}: compile done; warming", T0)
+        # guard against silent pair truncation inflating the number
+        nd = int(jax.block_until_ready(drop_count(args)))
+        _beat(f"{tag}: compile done; n_dropped={nd}; warming", T0)
+        assert nd == 0, f"pair truncation in bench scene: n_dropped={nd}"
         jax.block_until_ready(run(args, 1))
 
         iters = 10
@@ -152,7 +168,14 @@ def child(out_path: str):
         _beat(f"{tag}: {mpix_s:.2f} Mpix/s ({dt / iters * 1e3:.2f} ms/iter)", T0)
         return mpix_s
 
+    best = 0.0
+
     def write_result(mpix_s):
+        nonlocal best
+        if mpix_s <= best:
+            _beat(f"result {mpix_s:.2f} <= best {best:.2f}; keeping best", T0)
+            return
+        best = mpix_s
         result = {
             "metric": "rasterize_fwd_bwd",
             "value": round(mpix_s, 2),
@@ -165,10 +188,20 @@ def child(out_path: str):
         os.replace(tmp, out_path)
         _beat(f"result written: {result}", T0)
 
-    # Stage 1: small, fast-compiling config -- evidence lands early.
-    write_result(measure(240, 320, 30_000, "staged-320x240"))
-    # Stage 2: the headline config overwrites if it completes.
-    write_result(measure(480, 640, 100_000, "full-640x480"))
+    # Stage A: small, fast-compiling config -- evidence lands early.
+    write_result(measure(240, 320, 30_000, "stageA-320x240"))
+    # Stage B: the headline config, default caps.
+    if time.time() < deadline - 60:
+        write_result(measure(480, 640, 100_000, "stageB-640x480"))
+    else:
+        _beat("skipping stage B: budget exhausted", T0)
+        return
+    # Stage C: probe-driven zero-slack caps; only with comfortable budget.
+    if time.time() < deadline - 150:
+        write_result(measure(480, 640, 100_000, "stageC-640x480-probed",
+                             use_probe=True))
+    else:
+        _beat("skipping stage C probe: budget exhausted", T0)
 
 
 def read_result():
@@ -239,18 +272,20 @@ def main():
               flush=True)
         return
 
-    # Phase 2: staged measurement. Keep the child alive while it makes
-    # progress (heartbeat fresh); kill at the deadline or on a stall.
-    stall_s = 300.0  # remote compiles can take minutes; beats bracket them
+    # Phase 2: staged measurement. Stall tolerance is asymmetric: before any
+    # result lands we wait out slow remote compiles (round-3 post-mortem:
+    # a 78s probe compile was legitimate); once a result exists, a stale
+    # heartbeat just means later stages won't improve it -- stop early.
     result = None
     for attempt in (1, 2):
         if time.time() > deadline - 60:
             break
         print(f"[bench] measurement attempt {attempt}",
               file=sys.stderr, flush=True)
+        env = dict(os.environ, BENCH_CHILD_DEADLINE=str(deadline - 20))
         proc = subprocess.Popen([sys.executable, os.path.abspath(__file__),
                                  "--child", RESULT],
-                                stdout=sys.stderr)
+                                stdout=sys.stderr, env=env)
         start = time.time()
         while proc.poll() is None:
             now = time.time()
@@ -260,6 +295,7 @@ def main():
                 _kill(proc)
                 break
             age = heartbeat_age()
+            stall_s = 120.0 if read_result() is not None else 240.0
             if now - start > 90 and age > stall_s:
                 print(f"[bench] heartbeat stale {age:.0f}s; child hung",
                       file=sys.stderr, flush=True)

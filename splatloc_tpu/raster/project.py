@@ -161,12 +161,12 @@ def project_gaussians(
     # the ellipse's axis-aligned bounding box at the opacity-aware cutoff
     # alpha >= alpha_min: Q(p) = 2 ln(op/alpha_min) has x-extent
     # sqrt(c)*sigma_x (sigma_x^2 = blurred c00). Intersecting with the
-    # square radius keeps the pair set EXACTLY output-preserving both ways:
-    # every pixel of a tile the AABB excludes has alpha < alpha_min (zeroed
-    # identically by the Pallas kernels and the XLA oracle), and no tile
+    # square radius keeps the pair set output-preserving up to f32
+    # accumulation order: every pixel of a tile the AABB excludes has
+    # alpha < alpha_min (zeroed by the kernels' alpha cut), and no tile
     # outside the reference square is added. The 0.05 slack on c absorbs
     # f32 rounding at the alpha_min boundary.
-    if opacities is not None:
+    if opacities is not None and cfg.aabb_binning:
         c_cut = 2.0 * jnp.log(jnp.maximum(opacities, 1e-12)
                               / cfg.alpha_min) + 0.05
         s_cut = jnp.sqrt(jnp.maximum(c_cut, 0.0))

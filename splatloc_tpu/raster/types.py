@@ -76,6 +76,10 @@ class RasterConfig:
     # RenderOutput.n_vis_dropped for the trainer's tier escalation. None =
     # no cap.
     visible_cap: int | None = struct.field(pytree_node=False, default=None)
+    # Opacity-aware ellipse-AABB binning rects (project.radius_xy). False
+    # falls back to the reference's square max-eigenvalue rects — used by
+    # tests to isolate the AABB cull's effect within one backend.
+    aabb_binning: bool = struct.field(pytree_node=False, default=True)
 
 
 @struct.dataclass

@@ -69,7 +69,8 @@ def main():
 
     @jax.jit
     def probe(means, scales, quats, opac, colors):
-        proj = project.project_gaussians(means, scales, quats, cam, cfg)
+        proj = project.project_gaussians(means, scales, quats, cam, cfg,
+                                         opacities=opac)
         order = binning.depth_sort(proj)
         rect = jnp.take(jnp.stack([proj.xy[:, 0], proj.xy[:, 1],
                                    proj.radius_xy[:, 0],
