@@ -29,8 +29,14 @@ register() call), and remote compiles take 20s-6min when it is alive. So:
      A result JSON is on disk the moment stage A lands; later stages only
      improve it.
   3. The child appends heartbeat lines to a progress file around every
-     phase (compile / warm / timing); the parent kills on a stale
-     heartbeat -- quickly once a result exists, patiently before.
+     phase (compile / warm / timing). Measured on-chip (round 4): identical
+     programs lower+compile in 25s on one run and 350s+ on the next -- the
+     tunnel stalls for minutes at random and then recovers. So the parent
+     NEVER kills a live child before the deadline while no result exists
+     (restarting re-pays all compile work and usually hits the same
+     stall); it restarts only when the child EXITS without a result, and
+     once a result is on disk it stops a stalled child early (stale
+     heartbeat) since later stages can only improve the number.
 
 Exactly one JSON line is printed; value 0.0 only if no stage ever landed.
 """
@@ -272,21 +278,21 @@ def main():
               flush=True)
         return
 
-    # Phase 2: staged measurement. Stall tolerance is asymmetric: before any
-    # result lands we wait out slow remote compiles (round-3 post-mortem:
-    # a 78s probe compile was legitimate); once a result exists, a stale
-    # heartbeat just means later stages won't improve it -- stop early.
+    # Phase 2: staged measurement. Tunnel stalls of minutes are normal and
+    # recover on their own (see module docstring), so: never kill a live
+    # child while no result exists (only at the deadline); restart only if
+    # the child EXITS resultless with budget remaining; once a result is on
+    # disk, stop a stalled child early -- later stages only improve it.
     result = None
-    for attempt in (1, 2):
-        if time.time() > deadline - 60:
-            break
+    attempt = 0
+    while time.time() < deadline - 30 and read_result() is None:
+        attempt += 1
         print(f"[bench] measurement attempt {attempt}",
               file=sys.stderr, flush=True)
         env = dict(os.environ, BENCH_CHILD_DEADLINE=str(deadline - 20))
         proc = subprocess.Popen([sys.executable, os.path.abspath(__file__),
                                  "--child", RESULT],
                                 stdout=sys.stderr, env=env)
-        start = time.time()
         while proc.poll() is None:
             now = time.time()
             if now > deadline - 15:
@@ -294,17 +300,15 @@ def main():
                       file=sys.stderr, flush=True)
                 _kill(proc)
                 break
-            age = heartbeat_age()
-            stall_s = 120.0 if read_result() is not None else 240.0
-            if now - start > 90 and age > stall_s:
-                print(f"[bench] heartbeat stale {age:.0f}s; child hung",
+            if read_result() is not None and heartbeat_age() > 120.0:
+                print("[bench] result landed and child stalled; stopping",
                       file=sys.stderr, flush=True)
                 _kill(proc)
                 break
             time.sleep(2.0)
-        result = read_result()
-        if result is not None or time.time() > deadline - 60:
-            break
+        if proc.poll() is None:
+            _kill(proc)
+    result = read_result()
 
     if result is None:
         result = {"metric": "rasterize_fwd_bwd", "value": 0.0,

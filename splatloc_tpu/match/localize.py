@@ -254,9 +254,25 @@ def _refine_pose_jit(scene, camera, w2c0, gt, iters, lr, rtol, patience,
     return bxi, {"iters": i, "loss0": loss0, "loss": best}
 
 
+def _level_cam_gt(camera, gt, s):
+    """Camera + target at downscale factor s (pixel-center-correct principal
+    point: centers sit at half-integers, so c' = (c + 0.5)/s - 0.5 — plain
+    c/s biases the coarse objective by ~0.4 px at s=4)."""
+    if s == 1:
+        return camera, gt
+    H, W = camera.height, camera.width
+    cam_s = Camera.create(camera.w2c, camera.fx / s, camera.fy / s,
+                          (camera.cx + 0.5) / s - 0.5,
+                          (camera.cy + 0.5) / s - 0.5, W // s,
+                          H // s, camera.znear, camera.zfar)
+    gt_s = gt.reshape(H // s, s, W // s, s, gt.shape[-1]).mean((1, 3))
+    return cam_s, gt_s
+
+
 def refine_pose(scene, camera, w2c0, gt, iters: int = 64, lr: float = 2e-3,
                 rtol: float = 1e-4, patience: int = 8,
-                levels: tuple[int, ...] = (4, 2, 1)):
+                levels: tuple[int, ...] = (8, 4, 2, 1),
+                multi_start_deg: tuple[float, ...] = (7.0, 14.0)):
     """Render-loss 6-DoF pose refinement: returns (xi [6] se3 update in the
     w2c frame, info dict with iters/loss0/loss).
 
@@ -267,7 +283,15 @@ def refine_pose(scene, camera, w2c0, gt, iters: int = 64, lr: float = 2e-3,
     pyramid), and the coarse iterations are ~s^2 cheaper. Per level, the
     whole optimization is one compiled lax.while_loop with Adam and
     best-so-far tracking that stops after ``patience`` consecutive
-    iterations without a ``rtol`` relative improvement."""
+    iterations without a ``rtol`` relative improvement.
+
+    ``multi_start_deg`` widens the ROTATIONAL basin beyond the pyramid's
+    reach (~8 deg): before the pyramid, pure camera-frame pitch/yaw
+    perturbations of the start pose (±deg about the camera x/y axes, which
+    keep the camera center fixed) are scored by render loss at the coarsest
+    level, and the pyramid starts from the best seed. The identity seed is
+    always included, so a good start pose is never harmed; the
+    full-resolution acceptance guard below bounds the worst case."""
     use_pallas = jax.default_backend() != "cpu"
     gt = jnp.asarray(gt, jnp.float32)
     w2c0 = jnp.asarray(w2c0, jnp.float32)
@@ -275,19 +299,28 @@ def refine_pose(scene, camera, w2c0, gt, iters: int = 64, lr: float = 2e-3,
     H, W = camera.height, camera.width
     total_iters, loss0 = 0.0, None
     info = {}
-    for s in [s for s in levels if s == 1 or
-              (W % s == 0 and H % s == 0 and min(W, H) // s >= 16)]:
-        if s == 1:
-            cam_s, gt_s = camera, gt
-        else:
-            # pixel-center-correct principal point under s-fold downscale:
-            # pixel centers sit at half-integers, so c' = (c + 0.5)/s - 0.5
-            # (plain c/s biases the coarse objective by ~0.4 px at s=4)
-            cam_s = Camera.create(camera.w2c, camera.fx / s, camera.fy / s,
-                                  (camera.cx + 0.5) / s - 0.5,
-                                  (camera.cy + 0.5) / s - 0.5, W // s,
-                                  H // s, camera.znear, camera.zfar)
-            gt_s = gt.reshape(H // s, s, W // s, s, gt.shape[-1]).mean((1, 3))
+    lvls = [s for s in levels if s == 1 or
+            (W % s == 0 and H % s == 0 and min(W, H) // s >= 16)]
+    degs = [d for d in multi_start_deg if d > 0]
+    if degs and lvls:
+        cam_c, gt_c = _level_cam_gt(camera, gt, lvls[0])
+        seeds = [jnp.zeros(6)]
+        for d in degs:
+            th = float(np.radians(d))
+            for k in range(8):   # 8 compass directions in the (x, y) plane
+                a = np.pi * k / 4.0
+                seeds.append(jnp.asarray(
+                    [0.0, 0.0, 0.0, th * np.cos(a), th * np.sin(a), 0.0],
+                    jnp.float32))
+        losses = [float(_pose_loss_jit(
+            scene, cam_c, transforms.se3_exp(x) @ w2c0, gt_c, use_pallas))
+            for x in seeds]
+        best = int(np.argmin(losses))
+        if best != 0:
+            w2c = transforms.se3_exp(seeds[best]) @ w2c0
+        total_iters += float(len(seeds))
+    for s in lvls:
+        cam_s, gt_s = _level_cam_gt(camera, gt, s)
         xi, info = _refine_pose_jit(scene, cam_s, w2c, gt_s, iters, lr,
                                     rtol, patience, use_pallas)
         w2c = transforms.se3_exp(xi) @ w2c

@@ -134,7 +134,8 @@ def extract(params: dict, image_gray: jax.Array, max_keypoints: int = 4096,
     nms = jnp.where(inb, nms, 0.0)
 
     flat = nms.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, max_keypoints)
+    # small frames can hold fewer pixels than the keypoint budget
+    vals, idx = jax.lax.top_k(flat, min(max_keypoints, flat.shape[0]))
     valid = vals > score_threshold
     u = (idx % W).astype(jnp.float32)
     v = (idx // W).astype(jnp.float32)

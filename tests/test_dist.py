@@ -25,6 +25,7 @@ def _scene(rng, n=250):
     return tuple(map(jnp.asarray, (means, scales, quats, opac, colors)))
 
 
+@pytest.mark.slow
 def test_tile_sharded_raster_parity(rng):
     sc = _scene(rng)
     cam = Camera.create(np.eye(4, dtype=np.float32), 50.0, 50.0, 32.0, 24.0,

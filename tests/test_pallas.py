@@ -3,6 +3,7 @@ against the XLA tiled path — forward and every gradient."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from splatloc_tpu.core.camera import Camera
 from splatloc_tpu.raster import rasterize, RasterConfig
@@ -308,6 +309,7 @@ def test_visible_cap_exact_and_counted(rng):
     assert bool(jnp.isfinite(out2.image).all())
 
 
+@pytest.mark.slow
 def test_pair_cap_override_zero_slack(rng):
     """Probe-driven static pair budget (RasterConfig.pair_cap_override):
     pairs.pair_need measures the scene's exact aligned pair-array need, and

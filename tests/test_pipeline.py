@@ -35,6 +35,7 @@ def test_dataset_loader_contract(dataset):
     assert f["depth"].max() > 1.0
 
 
+@pytest.mark.slow
 def test_full_pipeline(dataset):
     root, config = dataset
     # denser keyframes for the tiny run

@@ -41,6 +41,7 @@ def _pose_err(w2c_est, w2c_gt):
 
 
 @pytest.mark.parametrize("seed", [0, 3])
+@pytest.mark.slow
 def test_refine_pose_reduces_known_perturbation(rng, seed):
     r = np.random.default_rng(seed)
     scene = _make_scene(r)
@@ -66,6 +67,7 @@ def test_refine_pose_reduces_known_perturbation(rng, seed):
     assert float(info["iters"]) <= 120
 
 
+@pytest.mark.slow
 def test_refine_pose_noop_at_gt(rng):
     """Starting at the exact gt pose, refinement must not walk away."""
     r = np.random.default_rng(1)
@@ -83,6 +85,7 @@ def test_refine_pose_noop_at_gt(rng):
     assert float(info["loss"]) < 1e-5
 
 
+@pytest.mark.slow
 def test_refine_pose_pyramid_converges_from_5deg(rng):
     """The coarse-to-fine pyramid widens the basin: a ~5.5cm/5deg start —
     outside the full-resolution basin — must still converge (the reference
@@ -101,6 +104,32 @@ def test_refine_pose_pyramid_converges_from_5deg(rng):
                           @ np.eye(4, dtype=np.float32))
     t0, r0 = _pose_err(w2c_pert, np.eye(4))
     assert r0 > 4.5
+
+    xi, info = refine_pose(scene, cam, w2c_pert, gt, iters=120, lr=4e-3)
+    w2c_ref = np.asarray(transforms.se3_exp(xi) @ jnp.asarray(w2c_pert))
+    t1, r1 = _pose_err(w2c_ref, np.eye(4))
+    assert t1 < t0 / 3.0, (t0, t1)
+    assert r1 < r0 / 3.0, (r0, r1)
+
+
+@pytest.mark.slow
+def test_refine_pose_multistart_converges_from_10deg(rng):
+    """Round-4 basin widening (VERDICT r3 #5): a ~10cm/10deg start — outside
+    the pyramid-only basin (round-3 refine_table: 10cm/8deg landed at
+    20.3cm) — must converge via the coarse-level multi-start seeding."""
+    r = np.random.default_rng(11)
+    scene = _make_scene(r, n=500, cap=512)
+    cam = Camera.create(np.eye(4, dtype=np.float32), 120.0, 120.0, 80.0,
+                        60.0, 160, 120)
+    gt = render(scene, cam, RasterConfig(tile_chunk=8))["render"]
+
+    ax = np.array([0.55, -0.66, 0.1])   # mostly pitch/yaw, slight roll
+    ax = ax / np.linalg.norm(ax) * np.radians(10.0)
+    xi_true = np.concatenate([[0.06, -0.05, 0.05], ax]).astype(np.float32)
+    w2c_pert = np.asarray(transforms.se3_exp(jnp.asarray(xi_true))
+                          @ np.eye(4, dtype=np.float32))
+    t0, r0 = _pose_err(w2c_pert, np.eye(4))
+    assert r0 > 9.0 and t0 > 0.08, (t0, r0)
 
     xi, info = refine_pose(scene, cam, w2c_pert, gt, iters=120, lr=4e-3)
     w2c_ref = np.asarray(transforms.se3_exp(xi) @ jnp.asarray(w2c_pert))

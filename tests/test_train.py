@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from splatloc_tpu.core.camera import Camera
 from splatloc_tpu.train import losses
@@ -77,6 +78,7 @@ def _synthetic_frames(rng, cfg, n_frames=3):
     return frames
 
 
+@pytest.mark.slow
 def test_mapping_trainer_end_to_end(rng):
     """Full mapping slice: add keyframes, optimize, PSNR must improve, then
     color refinement must improve it further."""
@@ -190,6 +192,7 @@ def test_mapping_determinism(rng):
                                   np.asarray(t2.scene.opacity))
 
 
+@pytest.mark.slow
 def test_mapping_no_nans_long(rng):
     """NaN guard: an extended run with densify + opacity reset stays finite."""
     cfg = MappingConfig(width=32, height=24, fx=25.0, fy=25.0, cx=16.0,
