@@ -165,7 +165,11 @@ def child(out_path: str):
         assert nd == 0, f"pair truncation in bench scene: n_dropped={nd}"
         jax.block_until_ready(run(args, 1))
 
-        iters = 10
+        # iters=50: the axon tunnel costs ~120 ms per dispatch+sync, which
+        # at 10 iters inflates ms/iter by ~20%; steady-state training runs
+        # hundreds of steps device-side between host syncs, so amortizing
+        # the sync is the honest device-throughput measurement.
+        iters = 50
         t0 = time.perf_counter()
         out = run(args, iters)
         jax.block_until_ready(out)

@@ -244,9 +244,12 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         attr_rows.append(_row(g, R_DEPTH, rows, CHUNK))
         attr_rows.append(jnp.ones((1, CHUNK), jnp.float32))
         attrs_ln = jnp.concatenate(attr_rows, axis=0)        # [OUT', CHUNK]
+        # same contraction as the historical [P, OUT'] form, transposed
+        # output (identical operands + accumulation order -> identical
+        # values): accumulate attr-major for the compact output block
         contrib = jax.lax.dot_general(
-            w, attrs_ln, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [P, OUT']
+            attrs_ln, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [OUT', P]
         acc = acc + contrib
 
         t_carry = t_carry * jnp.exp(
@@ -267,7 +270,7 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         return (j < nchunks) & (jnp.max(t_carry) >= t_eps)
 
     t0 = jnp.ones((P, 1), jnp.float32)
-    acc0 = jnp.zeros((P, n_channels + 2), jnp.float32)
+    acc0 = jnp.zeros((n_channels + 2, P), jnp.float32)
     nc0 = jnp.full((P, 1), -1.0, jnp.float32)
     j_end, _, t_blend, acc, ncontrib = jax.lax.while_loop(
         cond, body, (0, t0, t0, acc0, nc0))
@@ -276,7 +279,15 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     def _():
         get_dma(jax.lax.rem(j_end, 2), j_end).wait()
 
-    out_ref[0] = jnp.concatenate([acc, ncontrib, t_blend], axis=1)
+    # ATTR-MAJOR output block [OUT'+2, P]: pixels on lanes, attrs on
+    # sublanes — a [T, P, OUT] HBM array lane-pads OUT -> 128 under the
+    # (8,128) tiling (13x physical bytes; measured 157 MB/iter of pure
+    # padding traffic at 640x480). The two per-pixel [P, 1] tails transpose
+    # to [1, P] rows once per tile (Mosaic dots with swapped contraction
+    # dims lower to non-constant-accumulator multi_reductions and fail to
+    # compile, so transpose via jnp).
+    tail_t = jnp.concatenate([ncontrib, t_blend], axis=1).T   # [2, P]
+    out_ref[0] = jnp.concatenate([acc, tail_t], axis=0)
 
 
 # --------------------------------------------------------------------------
@@ -316,13 +327,15 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     oxf = ox.astype(jnp.float32)
     oyf = oy.astype(jnp.float32)
 
-    fwd = fwd_ref[0]                                         # [P, OUT'+2]
-    cot = cot_ref[0]                                         # [P, OUT']
-    ncontrib = _col_from(fwd, n_channels + 2, P, OUTP + 2)
+    fwd = fwd_ref[0]                                         # [OUT'+2, P]
+    cot = cot_ref[0]                                         # [OUT', P]
+    # per-pixel tails come in attr-major [1, P] rows (compact layout, see
+    # _fwd_kernel); transpose back to [P, 1] columns once per tile
+    ncontrib = _row(fwd, n_channels + 2, OUTP + 2, P).T      # [P, 1]
     # the forward's exact f32 blended-prefix transmittance (NOT
     # 1 - alpha_sum: on saturated pixels that subtraction cancels against
     # the MXU weight-sum's bf16 noise and amplifies every grad of the pixel)
-    t_final = _col_from(fwd, n_channels + 3, P, OUTP + 2)    # [P, 1]
+    t_final = _row(fwd, n_channels + 3, OUTP + 2, P).T       # [P, 1]
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(
@@ -392,9 +405,11 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         attr_rows.append(jnp.ones((1, CHUNK), jnp.float32))
         attrs_ln = jnp.concatenate(attr_rows, axis=0)        # [OUT', CHUNK]
 
-        # u = dL/dw per (pixel, pair): cot [P, OUT'] @ attrs_ln [OUT', CHUNK]
+        # u = dL/dw per (pixel, pair): cot [OUT', P] contracted with
+        # attrs_ln [OUT', CHUNK] over OUT' (same operands + accumulation
+        # order as the historical [P, OUT'] form)
         u = jax.lax.dot_general(
-            cot, attrs_ln, dimension_numbers=(((1,), (0,)), ((), ())),
+            cot, attrs_ln, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [P, CHUNK]
 
         bw = jnp.where(b, 1.0, 0.0)
@@ -439,7 +454,7 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 
         # channel + depth grads: [OUT', CHUNK] in one MXU op
         d_attrs = jax.lax.dot_general(
-            cot, w, dimension_numbers=(((0,), (0,)), ((), ())),
+            cot, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [OUT', CHUNK]
 
         ri = jax.lax.broadcasted_iota(jnp.int32, (rows, CHUNK), 0)
@@ -658,7 +673,11 @@ def _run_fwd_kernel(starts, counts, origins, gpair, T, P, C, rows, cfg,
         num_scalar_prefetch=3,
         grid=(T,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
-        out_specs=pl.BlockSpec((1, P, C + 4), lambda t, *_: (t, 0, 0),
+        # ATTR-MAJOR [T, OUT, P]: pixels on lanes. [T, P, OUT] would lane-pad
+        # OUT -> 128 in HBM (13x bytes at C=4) on every kernel-boundary
+        # crossing: the forward's write, the loss fusions' reads, the
+        # cotangent materialization and the backward's reads.
+        out_specs=pl.BlockSpec((1, C + 4, P), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
@@ -667,7 +686,7 @@ def _run_fwd_kernel(starts, counts, origins, gpair, T, P, C, rows, cfg,
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((T, P, C + 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, C + 4, P), jnp.float32),
         interpret=interpret,
     )(starts, counts, origins, gpair)
 
@@ -796,9 +815,9 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
     alias = BWD_INIT == "alias_zeros" or interpret
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),              # gpair
-        pl.BlockSpec((1, P, C + 4), lambda t, *_: (t, 0, 0),
+        pl.BlockSpec((1, C + 4, P), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),             # fwd out
-        pl.BlockSpec((1, P, C + 2), lambda t, *_: (t, 0, 0),
+        pl.BlockSpec((1, C + 2, P), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),             # cotangent
     ]
     operands = [starts, counts, origins, gpair, fwd_out, cot]
@@ -975,7 +994,8 @@ def blend_pairs(xy, conic, opacity, depth, colors, radius, visible_f, order_f,
     cotangents. With ``mesh``, the tile axis shards across the named mesh
     axis (forward tiles sharded; backward pair-grad shards psummed).
 
-    Returns (acc [T, P, C+4], n_dropped, n_trunc, n_vis_dropped): C
+    Returns (acc [T, C+4, P] attr-major, n_dropped, n_trunc,
+    n_vis_dropped): C
     channels, expected depth, alpha (= sum of blend weights), n_contrib +
     t_final (backward bookkeeping); the drop counters come free from the
     pair build (a separate pair_stats call re-runs the whole
@@ -1002,7 +1022,7 @@ def _blend_fwd_rule(xy, conic, opacity, depth, colors, radius, visible_f,
 def _blend_bwd_rule(width, height, cfg, interpret, mesh, axis, res, cot):
     pr, gpair, fwd_out, n, C, radius, visible_f, order_f = res
     cot = cot[0]                 # drop the (int) drop-counter cotangents
-    cot_main = cot[..., :C + 2]                  # ignore n_contrib cotangent
+    cot_main = cot[:, :C + 2, :]                 # ignore n_contrib cotangent
     dxy, dconic, dop, ddepth, dcolors = _backward_impl(
         pr, gpair, fwd_out, cot_main, order_f.astype(jnp.int32), width,
         height, cfg, n, C, interpret, mesh, axis)
@@ -1015,19 +1035,20 @@ blend_pairs.defvjp(_blend_fwd_rule, _blend_bwd_rule)
 
 
 def assemble_image(acc, width, height, cfg, bg):
-    """[T, P, C+4] raw accumulators -> (image [H,W,C], depth, alpha)."""
+    """[T, C+4, P] raw attr-major accumulators -> (image [H,W,C], depth,
+    alpha)."""
     ts = cfg.tile_size
     gx = -(-width // ts)
     gy = -(-height // ts)
-    C = acc.shape[-1] - 4
-    img = acc[:, :, :C] + (1.0 - acc[:, :, C + 1])[:, :, None] * bg[None, None, :]
+    C = acc.shape[1] - 4
+    img = acc[:, :C, :] + (1.0 - acc[:, C + 1, :])[:, None, :] * bg[None, :, None]
 
     def asm(x, ch):
-        x = x.reshape(gy, gx, ts, ts, ch)
-        x = x.transpose(0, 2, 1, 3, 4).reshape(gy * ts, gx * ts, ch)
+        x = x.reshape(gy, gx, ch, ts, ts)
+        x = x.transpose(0, 3, 1, 4, 2).reshape(gy * ts, gx * ts, ch)
         return x[:height, :width]
 
     image = asm(img, C)
-    depth = asm(acc[:, :, C:C + 1], 1)[..., 0]
-    alpha = asm(acc[:, :, C + 1:C + 2], 1)[..., 0]
+    depth = asm(acc[:, C:C + 1, :], 1)[..., 0]
+    alpha = asm(acc[:, C + 1:C + 2, :], 1)[..., 0]
     return image, depth, alpha
