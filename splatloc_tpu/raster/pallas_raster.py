@@ -299,12 +299,16 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
                 gout_hbm,                                    # [PC, 128] HBM
                 gbuf, wbuf, gsem, wsem, wcnt,                # scratch
                 *, ts, n_channels, rows, alpha_max, alpha_min, t_eps,
-                n_tiles):
-    # gzero is aliased to gout purely to zero-init it: slabs past the last
-    # contributor are never written by the walk. (An in-kernel zero-fill
-    # loop was tried instead — the XLA zeros broadcast costs 0.37 ms/iter —
-    # but the resulting program compiled with a 2.2x SLOWER rank-sort
-    # gather downstream, a net loss; the alias form keeps the fast gather.)
+                n_tiles, fill_skipped=False):
+    # Slab init (BWD_INIT): the walk never writes chunks past each tile's
+    # last contributor. "alias_zeros" aliases a full zeros array into the
+    # output; "kernel_fill" instead zero-writes ONLY those skipped chunks
+    # through the same write ring (second loop after the walk) — strictly
+    # fewer HBM bytes than the full-slab zeros broadcast it replaces
+    # (0.22 ms/iter bench, 2.9 ms/step mapping at 5 views). The pair-array
+    # slack tail past the LAST tile's segment belongs to no tile and stays
+    # unwritten under kernel_fill: its keys are i32_max -> sentinel rank N,
+    # whose run the reduction's validity mask discards.
     del gzero_hbm
     t = pl.program_id(0)
     P = ts * ts
@@ -507,6 +511,24 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 
     jax.lax.while_loop(cond, body, (j_hi, t_final, jnp.zeros((P, 1),
                                                             jnp.float32)))
+
+    if fill_skipped:
+        # zero-write the chunks the walk skipped (beyond the tile's last
+        # contributor), through the same write ring
+        def zbody(j):
+            wi = wcnt[0]
+            wslot = jax.lax.rem(wi, 2)
+
+            @pl.when(wi >= 2)
+            def _():
+                write_waiter(wslot).wait()
+
+            wbuf[wslot] = jnp.zeros((CHUNK, 128), jnp.float32)
+            write_start(wslot, j).start()
+            wcnt[0] = wi + 1
+            return j + 1
+
+        jax.lax.while_loop(lambda j: j < nchunks, zbody, j_hi + 1)
 
     # drain the write ring before the kernel (last grid step) retires
     @pl.when(t == n_tiles - 1)
@@ -792,13 +814,20 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     return acc[:T], pr, gpair
 
 
-# Grad-slab init experiment: "alias_zeros" aliases a zeros array into the
-# output so the never-written slack tail past the last tile segment reads as
-# zero; "undef" skips the init — tail garbage provably lands only in the
-# sentinel rank's run of the reduction (tail keys are i32_max -> pair_idx N,
-# which sorts last) and the run-end validity mask discards it. Module-level
-# so tools/exp_bwd_glue.py can flip it per-variant on chip.
-BWD_INIT = "alias_zeros"
+# Grad-slab init mode:
+# - "kernel_fill" (default): the bwd kernel zero-writes the chunks its walk
+#   skipped (past each tile's last contributor) through its write ring —
+#   strictly fewer HBM bytes than a full-slab zeros init. The pair-array
+#   slack tail past the LAST tile's segment stays unwritten: its keys are
+#   i32_max -> sentinel rank N, whose run the reduction's validity mask
+#   discards.
+# - "alias_zeros": XLA zeros broadcast aliased into the output (the round-3
+#   default; costs a full-slab HBM write: 0.22 ms/iter bench, 2.9 ms/step
+#   mapping).
+# - "undef": no init at all — WRONG on real HBM (early-terminated pairs
+#   carry garbage into real ranks' runs); kept only for the A/B harness.
+# Module-level so tools/exp_bwd_glue.py can flip it per-variant on chip.
+BWD_INIT = "kernel_fill"
 
 
 def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
@@ -807,12 +836,18 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
     (PAIR-major, lane-padded so the rank-sort row gather reads contiguous
     rows; attrs live in lanes 0..rows)."""
     PC = gpair.shape[1]
+    fill = BWD_INIT == "kernel_fill"
     kernel = functools.partial(_bwd_kernel, ts=cfg.tile_size, n_channels=C,
                                rows=rows,
                                alpha_max=cfg.alpha_max,
                                alpha_min=cfg.alpha_min,
-                               t_eps=cfg.transmittance_eps, n_tiles=T)
-    alias = BWD_INIT == "alias_zeros" or interpret
+                               t_eps=cfg.transmittance_eps, n_tiles=T,
+                               fill_skipped=fill)
+    # interpret mode (CPU tests) zero-fills the whole out buffer via the
+    # alias so the kernel_fill sentinel-tail argument, which relies on the
+    # reduction masking, is ALSO exercised: keep the alias only for
+    # alias_zeros
+    alias = BWD_INIT == "alias_zeros" or (interpret and not fill)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),              # gpair
         pl.BlockSpec((1, C + 4, P), lambda t, *_: (t, 0, 0),

@@ -108,8 +108,13 @@ class MappingConfig:
     # reports dropped pairs (RenderOutput.n_dropped): per-Gaussian
     # truncation grows the giant-splat extension (big_k), global-budget
     # overflow grows pair_cap_factor — each cap against its own cause, so
-    # pair memory never inflates for the wrong reason
-    max_tiles: int = 12
+    # pair memory never inflates for the wrong reason.
+    # max_tiles 6 (was 12): only the SORT-KEY population scales with it
+    # (invalid slots sort to the tail), and the key sort was 1.84 ms/view
+    # at 12 (5 views -> ~9 ms/step); splats past the cap ride the
+    # big/mid tiers and n_trunc-driven escalation doubles it when a scene
+    # genuinely needs more
+    max_tiles: int = 6
     pair_cap_factor: int = 3
     big_k: int = 256
     big_tiles: int | None = 192
