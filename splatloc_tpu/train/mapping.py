@@ -116,6 +116,10 @@ class MappingConfig:
     # genuinely needs more
     max_tiles: int = 6
     pair_cap_factor: int = 3
+    # probe-driven static pair budget (RasterConfig.pair_cap_override);
+    # set by MappingTrainer.tighten_pair_cap at color-refinement entry,
+    # cleared by escalation when the global budget overflows
+    pair_cap_override: int | None = None
     big_k: int = 256
     big_tiles: int | None = 192
     mid_k: int = 4096
@@ -143,6 +147,7 @@ class MappingConfig:
                             use_pallas=use_pallas,
                             max_tiles=self.max_tiles,
                             pair_cap_factor=self.pair_cap_factor,
+                            pair_cap_override=self.pair_cap_override,
                             big_k=self.big_k, big_tiles=self.big_tiles,
                             mid_k=self.mid_k, mid_tiles=self.mid_tiles,
                             visible_cap=self.visible_cap)
@@ -290,7 +295,12 @@ def make_mapping_step(cfg: MappingConfig):
 
 
 def make_refinement_step(cfg: MappingConfig):
-    """Build the jitted color-refinement step (train_gaussians.py:269-297)."""
+    """Build the jitted color-refinement step (train_gaussians.py:269-297).
+
+    Returns (scene, opt_state, loss, ndrop [3]) — the drop counters feed the
+    same host-side truncation check as the mapping step (the refinement
+    phase previously went unchecked: 26k iterations of potential silent
+    under-rendering)."""
 
     @jax.jit
     def step_fn(scene: GaussianScene, opt_state: optim.AdamState,
@@ -299,17 +309,20 @@ def make_refinement_step(cfg: MappingConfig):
             sc = scene.with_params(params)
             out = _render_view(sc, frame, None, cfg)
             gt_rgb = frame["rgb"].astype(jnp.float32) / 255.0
-            return losses.refinement_loss(out.image[..., :3], gt_rgb,
-                                          cfg.lambda_dssim)
+            l = losses.refinement_loss(out.image[..., :3], gt_rgb,
+                                       cfg.lambda_dssim)
+            return l, jnp.stack([out.n_dropped, out.n_trunc,
+                                 out.n_vis_dropped])
 
-        loss, grads = jax.value_and_grad(loss_fn)(scene.params())
+        (loss, ndrop), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(scene.params())
         if cfg.primitive_reg:
             key = scene.marker[:, 0] > cfg.marker_thresh
             grads["xyz"] = jnp.where(key[:, None], 0.0, grads["xyz"])
         grads["marker"] = jnp.zeros_like(grads["marker"])
         lrs = optim.make_lrs(cfg.opt_lr_dict(), cfg.spatial_lr_scale, step)
         params, opt_state = optim.update(scene.params(), grads, opt_state, lrs)
-        return scene.with_params(params), opt_state, loss
+        return scene.with_params(params), opt_state, loss, ndrop
 
     return step_fn
 
@@ -424,7 +437,10 @@ class MappingTrainer:
             changes["mid_tiles"] = min(old.mid_tiles * 2, new_full - 1)
         if dropped > trunc:
             # global pair budget overflowed: grow it (and the per-tile list
-            # capacity of the XLA fallback path, whose drops count here too)
+            # capacity of the XLA fallback path, whose drops count here too);
+            # a probe-tightened override is stale evidence — clear it so the
+            # factor-based budget governs again
+            changes["pair_cap_override"] = None
             changes["pair_cap_factor"] = old.pair_cap_factor * 2
             changes["max_per_tile"] = old.max_per_tile * 2
         self.cfg = dataclasses.replace(old, **changes)
@@ -538,16 +554,95 @@ class MappingTrainer:
                     self.scene, self.opt_state, vis_union)
         return float(loss)
 
-    def color_refinement(self, total_iters: int = 26000, log_every: int = 0):
+    def _probe_pair_need(self, frame_indices) -> int:
+        """Exact aligned pair-array need (pairs.pair_need) of the current
+        scene over the given keyframes, under the current raster config."""
+        from splatloc_tpu.raster import binning, pairs, project
+        rcfg = self.cfg.raster_config()
+        cam0 = self.camera
+        scene = self.scene
+
+        @jax.jit
+        def probe(w2c):
+            c = cam0.replace_pose(w2c)
+            proj = project.project_gaussians(
+                scene.xyz, scene.scaling_activated(), scene.rotation, c,
+                rcfg, alive=scene.alive,
+                opacities=scene.opacity_activated())
+            order = binning.depth_sort(proj)
+            if rcfg.visible_cap is not None:
+                order = order[:rcfg.visible_cap]
+            return pairs.pair_need(jnp.take(proj.xy, order, axis=0),
+                                   jnp.take(proj.radius_xy, order, axis=0),
+                                   jnp.take(proj.visible, order),
+                                   self.cfg.width, self.cfg.height, rcfg)
+
+        need = 0
+        for i in frame_indices:
+            w2c = jnp.asarray(self.frames.w2c[int(i)])
+            need = max(need, int(probe(w2c)))
+        return need
+
+    def tighten_pair_cap(self, headroom: float = 1.25,
+                         max_probe_frames: int = 16) -> bool:
+        """Probe-driven static pair cap (RasterConfig.pair_cap_override):
+        measure the exact aligned pair need over (a sample of) the stored
+        keyframes and, when the current budget carries >25% slack beyond
+        headroom, recompile the steps with a near-zero-slack pair array —
+        every pair-proportional op (bwd kernel slab, rank gather, segscan,
+        run-end extraction) shrinks by the former slack. Intended at
+        color-refinement entry: the scene is frozen there (no densify), so
+        one recompile amortizes over the 26k-iteration phase; headroom
+        covers optimization-driven scale drift, and any residual overflow
+        still surfaces via the step's drop counters -> escalation clears
+        the override. Returns True if the caps changed (steps rebuilt)."""
+        import dataclasses
+        if self.frames.n == 0:
+            return False
+        idx = np.unique(np.linspace(0, self.frames.n - 1,
+                                    min(max_probe_frames, self.frames.n),
+                                    dtype=int))
+        need = self._probe_pair_need(idx)
+        from splatloc_tpu.raster import pairs
+        rcfg = self.cfg.raster_config()
+        n_ranks = (rcfg.visible_cap if rcfg.visible_cap is not None
+                   else self.scene.capacity)
+        cur = pairs.aligned_cap(rcfg, n_ranks, self.cfg.width,
+                                self.cfg.height)
+        ts = self.cfg.tile_size
+        T = ((-(-self.cfg.width // ts)) * (-(-self.cfg.height // ts)))
+        # tier quantization scaled to the need so recompile-triggering
+        # growth steps stay coarse at scale but small scenes still tighten
+        q = max(4096, 1 << int(np.log2(max(need, 1) / 8 + 1)))
+        target = int(np.ceil(need * headroom / q)) * q
+        if target >= cur * 0.8:
+            return False
+        override = max(target - T * pairs.ALIGN, pairs.ALIGN)
+        self.cfg = dataclasses.replace(self.cfg,
+                                       pair_cap_override=override)
+        self._mapping_step = make_mapping_step(self.cfg)
+        self._refine_step = make_refinement_step(self.cfg)
+        return True
+
+    def color_refinement(self, total_iters: int = 26000, log_every: int = 0,
+                         probe_caps: bool = True):
         """L1+D-SSIM polishing over random keyframes
         (train_gaussians.py:269-297; LR schedule restarts from 1)."""
+        if probe_caps and total_iters >= 2000:
+            if self.tighten_pair_cap():
+                print("refinement: probe-tightened pair caps "
+                      f"(override {self.cfg.pair_cap_override})")
         last = None
         for it in range(1, total_iters + 1):
             i = int(self.host_rng.integers(0, self.frames.n))
             frame = self.frames.gather(jnp.asarray([i]))
             frame = jax.tree.map(lambda x: x[0], frame)
-            self.scene, self.opt_state, last = self._refine_step(
+            self.scene, self.opt_state, last, ndrop = self._refine_step(
                 self.scene, self.opt_state, frame, jnp.asarray(it))
+            self._pending_dropped.append(ndrop)
+            if it % 200 == 0:
+                self._check_pair_truncation()
             if log_every and it % log_every == 0:
                 print(f"refine {it}: loss {float(last):.5f}")
+        self._check_pair_truncation()
         return None if last is None else float(last)

@@ -242,3 +242,49 @@ def test_visible_cap_tiering(rng):
     trainer._refresh_visible_cap()
     assert trainer.cfg.visible_cap == k
     assert trainer._mapping_step is step_fn
+
+
+def test_tighten_pair_cap_probe(rng):
+    """Probe-driven pair-cap tightening (refinement entry): the override
+    must shrink the aligned pair array, leave the render bit-identical
+    (no drops), and be CLEARED by escalation when the budget overflows."""
+    from splatloc_tpu.raster import pairs, render
+
+    cfg = MappingConfig(width=48, height=36, fx=40.0, fy=40.0, cx=24.0,
+                        cy=18.0, window_size=2, tile_chunk=3,
+                        max_per_tile=256, kp_budget=64, nonkp_budget=512,
+                        pcd_downsample=2, pair_cap_factor=12)
+    trainer = MappingTrainer(cfg, capacity=4096, frame_capacity=8)
+    for rgb, dep, score, w2c in _synthetic_frames(rng, cfg):
+        trainer.add_keyframe(rgb, dep, score, w2c)
+
+    rcfg0 = trainer.cfg.raster_config()
+    n_ranks = rcfg0.visible_cap or trainer.scene.capacity
+    cap0 = pairs.aligned_cap(rcfg0, n_ranks, cfg.width, cfg.height)
+    cam = trainer.camera.replace_pose(jnp.asarray(np.eye(4, dtype=np.float32)))
+    img0 = render(trainer.scene, cam, rcfg0)["render"]
+
+    assert trainer.tighten_pair_cap()
+    assert trainer.cfg.pair_cap_override is not None
+    rcfg1 = trainer.cfg.raster_config()
+    cap1 = pairs.aligned_cap(rcfg1, n_ranks, cfg.width, cfg.height)
+    assert cap1 < cap0, (cap0, cap1)
+    img1 = render(trainer.scene, cam, rcfg1)["render"]
+    np.testing.assert_array_equal(np.asarray(img0), np.asarray(img1))
+
+    # a second call with no slack left is a no-op
+    assert not trainer.tighten_pair_cap()
+
+    # refinement surfaces drops and escalation clears the override: force an
+    # absurdly small override, run a few refinement steps, expect the warn +
+    # cleared override
+    import dataclasses
+    import warnings
+    trainer.cfg = dataclasses.replace(trainer.cfg, pair_cap_override=128)
+    from splatloc_tpu.train.mapping import make_refinement_step
+    trainer._refine_step = make_refinement_step(trainer.cfg)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        trainer.color_refinement(total_iters=2, probe_caps=False)
+    assert any("dropped" in str(x.message) for x in w)
+    assert trainer.cfg.pair_cap_override is None

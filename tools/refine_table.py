@@ -61,7 +61,8 @@ def main():
     cfg = RasterConfig(tile_chunk=8)
     rows = []
     import time
-    for tmag, rdeg in [(0.01, 1.0), (0.03, 3.0), (0.055, 5.0), (0.10, 8.0)]:
+    for tmag, rdeg in [(0.01, 1.0), (0.03, 3.0), (0.055, 5.0), (0.10, 8.0),
+                       (0.10, 10.0), (0.15, 12.0)]:
         errs0, errs1, rerrs0, rerrs1, secs = [], [], [], [], []
         for seed in range(3):
             r = np.random.default_rng(seed)
