@@ -34,7 +34,6 @@ def main():
     cfg = RasterConfig(use_pallas=jax.default_backend() != "cpu")
     target = rasterize(*args, cam, cfg).image
 
-    @jax.jit
     def step(xi):
         def loss(xi):
             w2c = transforms.se3_exp(xi) @ cam.w2c
@@ -43,13 +42,19 @@ def main():
         g = jax.grad(loss)(xi)
         return xi - 1e-3 * g
 
+    @jax.jit
+    def run(xi, iters):
+        # chained inside ONE program (traced bound -> one compile): the
+        # axon tunnel costs ~120 ms per dispatch+sync, which per-iteration
+        # dispatch would add to every iteration of what steady-state
+        # refinement runs device-side
+        return jax.lax.fori_loop(0, iters, lambda _, x: step(x), xi)
+
     xi = jnp.array([0.02, -0.01, 0.01, 0.005, -0.004, 0.006])
-    xi = step(xi)
-    jax.block_until_ready(xi)
-    iters = 20
+    jax.block_until_ready(run(xi, 1))
+    iters = 50
     t0 = time.perf_counter()
-    for _ in range(iters):
-        xi = step(xi)
+    xi = run(xi, iters)
     jax.block_until_ready(xi)
     dt = time.perf_counter() - t0
     print(json.dumps({
