@@ -7,7 +7,10 @@ The differentiable blend over sort-binned (Gaussian, tile) pairs
 - forward: front-to-back compositing via lane-axis cumprod, MXU matmul for
   the weighted accumulation, per-pixel early exit at transmittance_eps, and
   a per-pixel ``n_contrib`` (last blended pair position) output for the
-  backward pass — the CUDA forward's last_contributor.
+  backward pass — the CUDA forward's last_contributor. Kernel-boundary
+  arrays (accumulators, cotangents) are ATTR-MAJOR [T, OUT, P]: pixels on
+  lanes, so nothing lane-pads to 128 (the channels-minor [T, P, OUT] form
+  cost 13x physical bytes on every crossing — 157 MB/iter at 640x480).
 - backward: reverse walk from the last contributing chunk, reconstructing
   transmittance by division over *blended* pairs only (numerically safe, the
   CUDA scheme) and producing analytic gradients for xy/conic/opacity/
