@@ -334,6 +334,8 @@ def main():
         if not live and (done or now > deadline - 60):
             break
         if not live:
+            if attempt >= 6:   # a repeatedly-crashing child won't improve
+                break
             attempt += 1
             procs.append(spawn(attempt))
         elif (not done and not hedged and heartbeat_age() > 150.0
