@@ -195,23 +195,36 @@ def child(out_path: str):
         _beat(f"{tag}: {mpix_s:.2f} Mpix/s ({dt / iters * 1e3:.2f} ms/iter)", T0)
         return mpix_s
 
-    def write_result(mpix_s):
+    def write_result(mpix_s, stage, headline):
         # compare against the FILE, not process-local state: under the
         # parent's hedged attempts two children can write concurrently and
-        # a late stage-A result must not clobber a better stage-C one
+        # a late stage-A result must not clobber a better stage-C one.
+        # The HEADLINE config (640x480/100k, stages B/C) always supersedes
+        # the small stage-A config even when A's Mpix/s reads higher;
+        # best-of applies only among same-config stages.
         try:
             with open(out_path) as f:
-                best = float(json.load(f).get("value", 0.0))
+                prev = json.load(f)
         except Exception:
-            best = 0.0
-        if mpix_s <= best:
-            _beat(f"result {mpix_s:.2f} <= best {best:.2f}; keeping best", T0)
-            return
+            prev = None
+        if prev is not None:
+            prev_headline = bool(prev.get("headline", False))
+            prev_val = float(prev.get("value", 0.0))
+            if prev_headline and not headline:
+                _beat(f"{stage}: {mpix_s:.2f} is non-headline; keeping "
+                      f"headline {prev_val:.2f}", T0)
+                return
+            if prev_headline == headline and mpix_s <= prev_val:
+                _beat(f"result {mpix_s:.2f} <= best {prev_val:.2f}; "
+                      "keeping best", T0)
+                return
         result = {
             "metric": "rasterize_fwd_bwd",
             "value": round(mpix_s, 2),
             "unit": "Mpix/s/chip",
             "vs_baseline": round(mpix_s / BASELINE_MPIXS, 3),
+            "stage": stage,
+            "headline": headline,
         }
         tmp = out_path + ".tmp"
         with open(tmp, "w") as f:
@@ -220,17 +233,20 @@ def child(out_path: str):
         _beat(f"result written: {result}", T0)
 
     # Stage A: small, fast-compiling config -- evidence lands early.
-    write_result(measure(240, 320, 30_000, "stageA-320x240"))
+    write_result(measure(240, 320, 30_000, "stageA-320x240"),
+                 "stageA-320x240/30k", headline=False)
     # Stage B: the headline config, default caps.
     if time.time() < deadline - 60:
-        write_result(measure(480, 640, 100_000, "stageB-640x480"))
+        write_result(measure(480, 640, 100_000, "stageB-640x480"),
+                     "stageB-640x480/100k", headline=True)
     else:
         _beat("skipping stage B: budget exhausted", T0)
         return
     # Stage C: probe-driven zero-slack caps; only with comfortable budget.
     if time.time() < deadline - 150:
         write_result(measure(480, 640, 100_000, "stageC-640x480-probed",
-                             use_probe=True))
+                             use_probe=True),
+                     "stageC-640x480/100k-probed", headline=True)
     else:
         _beat("skipping stage C probe: budget exhausted", T0)
 
@@ -358,7 +374,11 @@ def main():
     if result is None:
         result = {"metric": "rasterize_fwd_bwd", "value": 0.0,
                   "unit": "Mpix/s/chip", "vs_baseline": 0.0}
-    print(json.dumps(result), flush=True)
+    # the driver contract is exactly these four keys; stage/config metadata
+    # stays in the result file for auditing
+    print(json.dumps({k: result.get(k) for k in
+                      ("metric", "value", "unit", "vs_baseline")}),
+          flush=True)
 
 
 if __name__ == "__main__":

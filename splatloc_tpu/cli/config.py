@@ -4,6 +4,7 @@ wrapper replacing munch and a ``tpu:`` section for mesh/sharding options.
 """
 from __future__ import annotations
 
+import functools
 import os
 
 import yaml
@@ -23,37 +24,56 @@ class AttrDict(dict):
         self[k] = v
 
 
-def update_recursive(dict1: dict, dict2: dict):
-    for k, v in dict2.items():
-        if k not in dict1:
-            dict1[k] = dict()
-        if isinstance(v, dict):
-            update_recursive(dict1[k], v)
+def merge_configs(base: dict, override: dict) -> dict:
+    """Pure deep-merge: a new dict where mapping-valued overrides merge
+    key-by-key into the base value and everything else replaces it.
+    Neither input is mutated."""
+    merged = dict(base)
+    for key, value in override.items():
+        if isinstance(value, dict):
+            below = merged.get(key)
+            merged[key] = merge_configs(
+                below if isinstance(below, dict) else {}, value)
         else:
-            dict1[k] = v
+            merged[key] = value
+    return merged
+
+
+def _read_yaml(path: str) -> dict:
+    with open(path, "r") as f:
+        return yaml.full_load(f) or {}
+
+
+def _inheritance_chain(path: str) -> list[dict]:
+    """Root-first list of raw config dicts along the ``inherit_from``
+    chain starting at ``path`` (leaf). Inherit paths are repo-relative in
+    the shipped configs; a path relative to the including file works too.
+    Cycles are detected and rejected."""
+    chain, visited = [], set()
+    while path is not None:
+        real = os.path.realpath(path)
+        if real in visited:
+            raise ValueError(f"inherit_from cycle through {path}")
+        visited.add(real)
+        cfg = _read_yaml(path)
+        chain.append(cfg)
+        parent = cfg.get("inherit_from")
+        if parent is not None and not os.path.exists(parent):
+            sibling = os.path.join(os.path.dirname(path), parent)
+            if os.path.exists(sibling):
+                parent = sibling
+        path = parent
+    return chain[::-1]
 
 
 def load_config(path: str, default_path: str | None = None) -> dict:
-    with open(path, "r") as f:
-        cfg_special = yaml.full_load(f)
-
-    inherit_from = cfg_special.get("inherit_from")
-    if inherit_from is not None:
-        # inherit paths are repo-relative in the reference configs; resolve
-        # relative to the including file as a fallback
-        if not os.path.exists(inherit_from):
-            alt = os.path.join(os.path.dirname(path), inherit_from)
-            if os.path.exists(alt):
-                inherit_from = alt
-        cfg = load_config(inherit_from, default_path)
-    elif default_path is not None:
-        with open(default_path, "r") as f:
-            cfg = yaml.full_load(f)
-    else:
-        cfg = dict()
-
-    update_recursive(cfg, cfg_special)
-    return cfg
+    """Merged config for ``path``: the ``inherit_from`` chain folded
+    root-first through :func:`merge_configs`; ``default_path`` (if given)
+    seeds the fold below the chain root."""
+    layers = _inheritance_chain(path)
+    if default_path is not None:
+        layers.insert(0, _read_yaml(default_path))
+    return functools.reduce(merge_configs, layers, {})
 
 
 def save_dir_for(config: dict) -> str:

@@ -138,8 +138,16 @@ def read_cameras_text(path) -> dict[int, ColmapCamera]:
 
 
 def read_images_text(path) -> dict[int, ColmapImage]:
+    # Header/points rows are paired positionally; an image with zero 2D
+    # points has an EMPTY points row (COLMAP emits one), so only comments
+    # are filtered — blank lines must survive to keep the pairing aligned.
     out = {}
-    lines = list(_data_lines(path))
+    with open(path) as f:
+        lines = [ln.strip() for ln in f if not ln.lstrip().startswith("#")]
+    while lines and not lines[-1]:
+        lines.pop()
+    while lines and not lines[0]:
+        lines.pop(0)
     for i in range(0, len(lines), 2):
         el = lines[i].split()
         iid = int(el[0])
@@ -326,8 +334,17 @@ def write_model(path, cameras, images, points3d, ext: str = ".bin"):
 
 def model_to_poses(cameras, images):
     """Sorted-by-name (names, c2w [N,4,4], K [3,3], (width, height)) for
-    feeding the mapping pipeline from a COLMAP reconstruction."""
+    feeding the mapping pipeline from a COLMAP reconstruction.
+
+    The mapping pipeline assumes one shared camera; a multi-camera model
+    would silently get wrong K/size for the other rigs, so it is rejected.
+    """
     items = sorted(images.values(), key=lambda im: im.name)
+    cam_ids = {im.camera_id for im in items}
+    if len(cam_ids) != 1:
+        raise ValueError(
+            f"model_to_poses needs a single shared camera, got camera_ids "
+            f"{sorted(cam_ids)}; split the model per camera first")
     c2w = np.stack([np.linalg.inv(im.w2c()) for im in items])
     cam0 = cameras[items[0].camera_id]
     return [im.name for im in items], c2w, cam0.K(), (cam0.width,

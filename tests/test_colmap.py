@@ -1,6 +1,8 @@
 """COLMAP sparse-model I/O: text/binary round-trips, pose math, and the
 pipeline adapters (utils/colmap_utils.py parity; format per the public
 COLMAP spec)."""
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -58,6 +60,30 @@ def test_model_round_trip(tmp_path, rng, ext):
     # auto-detection picks the right encoding
     auto = colmap.read_model(str(tmp_path))
     _assert_models_equal(model, auto)
+
+
+@pytest.mark.parametrize("ext", [".txt", ".bin"])
+def test_zero_point_image_round_trip(tmp_path, rng, ext):
+    """An image with an EMPTY POINTS2D row must not desync the pairing
+    (COLMAP and write_images_text both emit the blank line)."""
+    cams, images, points = _model(rng)
+    images[1] = colmap.ColmapImage(
+        1, images[1].qvec, images[1].tvec, 1, images[1].name,
+        np.zeros((0, 2)), np.zeros((0,), np.int64))
+    colmap.write_model(str(tmp_path), cams, images, points, ext=ext)
+    back = colmap.read_model(str(tmp_path), ext)
+    _assert_models_equal((cams, images, points), back)
+    assert back[1][1].xys.shape == (0, 2)
+    assert back[1][2].name == images[2].name  # image 2 parsed intact
+
+
+def test_model_to_poses_rejects_multi_camera(rng):
+    cams, images, _ = _model(rng)
+    cams[2] = colmap.ColmapCamera(2, "PINHOLE", 320, 240,
+                                  np.array([160.0, 160.0, 159.5, 119.5]))
+    images[2] = dataclasses.replace(images[2], camera_id=2)
+    with pytest.raises(ValueError, match="single shared camera"):
+        colmap.model_to_poses(cams, images)
 
 
 def test_qvec_rotmat_round_trip(rng):
