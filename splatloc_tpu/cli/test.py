@@ -158,9 +158,11 @@ class EvalSession:
         ds = self.test_dataset
         cam0 = Camera.create(np.eye(4, dtype=np.float32), ds.fx, ds.fy,
                              ds.cx, ds.cy, ds.width, ds.height)
-        lp_params = metrics.load_lpips_params(
+        lp_path = os.environ.get(
+            "SPLATLOC_LPIPS_WEIGHTS",
             os.path.join(os.path.dirname(__file__), "..", "..", "weights",
                          "lpips_alex.npz"))
+        lp_params = metrics.load_lpips_params(lp_path)
         if lp_params is None:
             # fail loudly, not with NaN rows in eval_rendering.txt: without
             # converted weights the LPIPS column is omitted with a marker

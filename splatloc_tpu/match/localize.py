@@ -196,6 +196,7 @@ class Localizer:
         c2w = np.linalg.inv(w2c)
         return {**match_ret, "r": c2w[:3, :3], "t": c2w[:3, 3],
                 "refined": True, "refine_iters": int(info["iters"]),
+                "refine_seed_evals": int(info.get("seed_evals", 0)),
                 "refine_loss": (float(info["loss0"]),
                                 float(info["loss"]))}
 
@@ -207,6 +208,23 @@ def _pose_loss_jit(scene, camera, w2c, gt, use_pallas):
     cfg = RasterConfig(use_pallas=use_pallas)
     out = render(scene, camera.replace_pose(w2c), cfg)
     return jnp.mean(jnp.abs(out["render"] - gt))
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _seed_losses_jit(scene, camera, xis, w2c0, gt, use_pallas):
+    """Render loss for every seed pose in ONE dispatch: ``xis`` [S,6] se3
+    perturbations of ``w2c0``, scored by a device-side lax.map (the old
+    per-seed Python loop paid a ~120 ms host-tunnel sync per seed)."""
+    from splatloc_tpu.raster import render
+    from splatloc_tpu.raster.types import RasterConfig
+    cfg = RasterConfig(use_pallas=use_pallas)
+
+    def one(xi):
+        cam = camera.replace_pose(transforms.se3_exp(xi) @ w2c0)
+        out = render(scene, cam, cfg)
+        return jnp.mean(jnp.abs(out["render"] - gt))
+
+    return jax.lax.map(one, xis)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "lr", "rtol",
@@ -274,7 +292,9 @@ def refine_pose(scene, camera, w2c0, gt, iters: int = 64, lr: float = 2e-3,
                 levels: tuple[int, ...] = (8, 4, 2, 1),
                 multi_start_deg: tuple[float, ...] = (7.0, 14.0)):
     """Render-loss 6-DoF pose refinement: returns (xi [6] se3 update in the
-    w2c frame, info dict with iters/loss0/loss).
+    w2c frame, info dict with iters/loss0/loss/seed_evals — ``iters``
+    counts optimizer iterations only; the one-dispatch multi-start seed
+    scoring is reported separately as ``seed_evals``).
 
     Coarse-to-fine: each entry of ``levels`` is a downscale factor — the
     scene is re-rendered at camera/s resolution against an s x s
@@ -302,23 +322,22 @@ def refine_pose(scene, camera, w2c0, gt, iters: int = 64, lr: float = 2e-3,
     lvls = [s for s in levels if s == 1 or
             (W % s == 0 and H % s == 0 and min(W, H) // s >= 16)]
     degs = [d for d in multi_start_deg if d > 0]
+    seed_evals = 0
     if degs and lvls:
         cam_c, gt_c = _level_cam_gt(camera, gt, lvls[0])
-        seeds = [jnp.zeros(6)]
-        for d in degs:
+        seeds = np.zeros((1 + 8 * len(degs), 6), np.float32)
+        for j, d in enumerate(degs):
             th = float(np.radians(d))
             for k in range(8):   # 8 compass directions in the (x, y) plane
                 a = np.pi * k / 4.0
-                seeds.append(jnp.asarray(
-                    [0.0, 0.0, 0.0, th * np.cos(a), th * np.sin(a), 0.0],
-                    jnp.float32))
-        losses = [float(_pose_loss_jit(
-            scene, cam_c, transforms.se3_exp(x) @ w2c0, gt_c, use_pallas))
-            for x in seeds]
+                seeds[1 + 8 * j + k, 3:5] = (th * np.cos(a),
+                                             th * np.sin(a))
+        losses = np.asarray(_seed_losses_jit(
+            scene, cam_c, jnp.asarray(seeds), w2c0, gt_c, use_pallas))
         best = int(np.argmin(losses))
         if best != 0:
-            w2c = transforms.se3_exp(seeds[best]) @ w2c0
-        total_iters += float(len(seeds))
+            w2c = transforms.se3_exp(jnp.asarray(seeds[best])) @ w2c0
+        seed_evals = seeds.shape[0]
     for s in lvls:
         cam_s, gt_s = _level_cam_gt(camera, gt, s)
         xi, info = _refine_pose_jit(scene, cam_s, w2c, gt_s, iters, lr,
@@ -335,7 +354,7 @@ def refine_pose(scene, camera, w2c0, gt, iters: int = 64, lr: float = 2e-3,
     l_start = _pose_loss_jit(scene, camera, w2c0, gt, use_pallas)
     if float(l_start) <= float(l_ref):
         return jnp.zeros(6), {"iters": total_iters, "loss0": l_start,
-                              "loss": l_start}
+                              "loss": l_start, "seed_evals": seed_evals}
     xi_total = transforms.se3_log(w2c @ transforms.invert_se3(w2c0))
     return xi_total, {"iters": total_iters, "loss0": loss0,
-                      "loss": l_ref}
+                      "loss": l_ref, "seed_evals": seed_evals}

@@ -3,6 +3,8 @@ splatloc_tpu LPIPS npz layout.
 
 Run wherever torchvision/lpips weights are available:
     python tools/convert_lpips.py weights/lpips_alex.npz
+or from already-saved state_dict files (no network needed):
+    python tools/convert_lpips.py weights/lpips_alex.npz alex_features.pth lins.pth
 """
 import sys
 
@@ -30,19 +32,25 @@ def convert(alex_features_sd: dict, lin_sd: dict) -> dict:
     return out
 
 
-def main(dst):
-    import torchvision
-    import lpips as lpips_pkg
+def main(dst, alex_src=None, lin_src=None):
+    if alex_src is not None:
+        import torch
+        alex_sd = torch.load(alex_src, map_location="cpu")
+        lin_sd = torch.load(lin_src, map_location="cpu")
+    else:
+        import torchvision
+        import lpips as lpips_pkg
 
-    alex = torchvision.models.alexnet(weights="IMAGENET1K_V1").features
-    net = lpips_pkg.LPIPS(net="alex")
-    lin_sd = {f"lin{i}.model.1.weight": lin.model[1].weight
-              for i, lin in enumerate([net.lin0, net.lin1, net.lin2,
-                                       net.lin3, net.lin4])}
-    out = convert(alex.state_dict(), lin_sd)
+        alex_sd = torchvision.models.alexnet(
+            weights="IMAGENET1K_V1").features.state_dict()
+        net = lpips_pkg.LPIPS(net="alex")
+        lin_sd = {f"lin{i}.model.1.weight": lin.model[1].weight
+                  for i, lin in enumerate([net.lin0, net.lin1, net.lin2,
+                                           net.lin3, net.lin4])}
+    out = convert(alex_sd, lin_sd)
     np.savez(dst, **out)
     print(f"wrote {dst}")
 
 
 if __name__ == "__main__":
-    main(sys.argv[1])
+    main(*sys.argv[1:])
