@@ -34,6 +34,7 @@ __init__.py:117-126), adding camera-pose gradients the reference never had.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -169,30 +170,50 @@ def _dot_f32(a, b, dims, exact_a=False, exact_b=False):
 def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
                 gpair_hbm,                                   # [rows, PC] HBM
                 out_ref,                                     # [1, P, OUT]
-                gbuf, gsem,                                  # scratch
-                *, ts, n_channels, rows, alpha_max, alpha_min, t_eps):
+                gbuf, gsem, mpix_s, su_s,                    # scratch
+                *, ts, n_channels, rows, alpha_max, alpha_min, t_eps,
+                n_tiles, pair_len):
     t = pl.program_id(0)
     P = ts * ts
     # starts are 128-aligned by construction; the floor-multiply is an
     # identity that lets Mosaic PROVE the DMA offsets are tile-divisible
-    lo = (starts_ref[t] // CHUNK) * CHUNK
+    # (it must come AFTER the clamp or the proof is lost). The clamp only
+    # bites for empty tiles whose start is the capacity sentinel (their
+    # drain-wait descriptor must still be addressable).
+    lo = (jnp.minimum(starts_ref[t], pair_len - CHUNK) // CHUNK) * CHUNK
     count = counts_ref[t]
     ox = origin_ref[2 * t]
     oy = origin_ref[2 * t + 1]
     nchunks = pl.cdiv(count, CHUNK)
-
-    flat = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    mpix = _pixel_monomials(flat, ts, P)                     # [P, 8]
-    su = _tri_mask(CHUNK, lambda r, c: r < c)                # prefix-excl
 
     def get_dma(slot, j):
         return pltpu.make_async_copy(
             gpair_hbm.at[:, pl.ds(lo + j * CHUNK, CHUNK)],
             gbuf.at[slot], gsem.at[slot])
 
-    @pl.when(nchunks > 0)
+    # loop-invariant tables live in scratch VMEM across the sequential
+    # grid: built once at t == 0, reused by all later tiles; the first
+    # tile's chunk-0 DMA also starts here — every later tile's was started
+    # by its predecessor's epilogue (cross-tile handoff below), overlapping
+    # the HBM latency with the predecessor's output write + this prologue
+    @pl.when(t == 0)
     def _():
-        get_dma(0, 0).start()
+        flat = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        mpix_s[...] = _pixel_monomials(flat, ts, P)          # [P, 8]
+        su_s[...] = _tri_mask(CHUNK, lambda r, c: r < c)     # prefix-excl
+
+        @pl.when(nchunks > 0)
+        def _():
+            get_dma(0, 0).start()
+
+    # drain an unconsumed handoff prefetch (empty tile, t > 0): the
+    # predecessor prefetched this tile's chunk 0 unconditionally
+    @pl.when((t > 0) & (nchunks == 0))
+    def _():
+        get_dma(0, 0).wait()
+
+    mpix = mpix_s[...]
+    su = su_s[...]
 
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
     oxf = ox.astype(jnp.float32)
@@ -219,10 +240,14 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         c8, keep_eps, _ = _power_coeffs(g, oxf, oyf, rows, ts)
         power = _dot_f32(mpix, c8, (((1,), (0,)), ((), ())),
                          exact_a=True)                       # [P, CHUNK]
-        alpha = jnp.minimum(op * jnp.exp(jnp.minimum(power, 0.0)), alpha_max)
+        # keep-eps test folded into the exponent: rejected pairs get a -40
+        # exponent -> raw ~ op*4e-18, killed by the alpha_min cut below
+        # (one select replaces the separate compare+and+select chain)
+        pm = jnp.where(power <= keep_eps, jnp.minimum(power, 0.0), -40.0)
+        raw = op * jnp.exp(pm)
         # padding pairs have all-zero attrs -> alpha 0 -> dropped here
-        keep = (power <= keep_eps) & (alpha >= alpha_min)
-        alpha = jnp.where(keep, alpha, 0.0)
+        alpha = jnp.where(raw >= alpha_min,
+                          jnp.minimum(raw, alpha_max), 0.0)
 
         # transmittance chain in log space: the in-chunk exclusive prefix
         # cumprod of (1-alpha) becomes exp of ONE MXU matmul with a
@@ -232,14 +257,14 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
             lg, su, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # prefix-excl sum
         t_exc = t_carry * jnp.exp(cum)
-        t_inc = t_exc * (1.0 - alpha)
-        live = t_inc >= t_eps
-        w = jnp.where(live, alpha * t_exc, 0.0)
+        aw = alpha * t_exc
+        live = (t_exc - aw) >= t_eps                         # t_inc >= eps
+        w = jnp.where(live, aw, 0.0)
 
-        blended = live & (alpha > 0.0)
+        # w > 0 iff (live & alpha > 0): the blended test in one compare
         ncontrib = jnp.maximum(
             ncontrib,
-            jnp.max(jnp.where(blended, jnp.broadcast_to(pos, (P, CHUNK)),
+            jnp.max(jnp.where(w > 0.0, jnp.broadcast_to(pos, (P, CHUNK)),
                               -1.0), axis=1, keepdims=True))
 
         attr_rows = [_row(g, N_FIXED + c, rows, CHUNK)
@@ -282,6 +307,18 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     def _():
         get_dma(jax.lax.rem(j_end, 2), j_end).wait()
 
+    # cross-tile handoff: start the NEXT tile's chunk-0 DMA now (slot 0 is
+    # drained — every in-flight DMA above has been waited), so its HBM
+    # latency overlaps this tile's output write and the next prologue.
+    # Empty next tiles drain it (see prologue); the offset is clamped so a
+    # start at the capacity sentinel cannot address out of bounds.
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        nlo = (jnp.minimum(starts_ref[t + 1], pair_len - CHUNK)
+               // CHUNK) * CHUNK
+        pltpu.make_async_copy(gpair_hbm.at[:, pl.ds(nlo, CHUNK)],
+                              gbuf.at[0], gsem.at[0]).start()
+
     # ATTR-MAJOR output block [OUT'+2, P]: pixels on lanes, attrs on
     # sublanes — a [T, P, OUT] HBM array lane-pads OUT -> 128 under the
     # (8,128) tiling (13x physical bytes; measured 157 MB/iter of pure
@@ -297,12 +334,12 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 # backward kernel
 # --------------------------------------------------------------------------
 
-def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
+def _bwd_kernel(starts_ref, counts_ref, origin_ref, jhi_ref,  # scalar prefetch
                 gpair_hbm, fwd_ref, cot_ref, gzero_hbm,      # inputs
                 gout_hbm,                                    # [PC, 128] HBM
-                gbuf, wbuf, gsem, wsem, wcnt,                # scratch
+                gbuf, wbuf, gsem, wsem, wcnt, mpix_s, sli_s, slx_s,  # scratch
                 *, ts, n_channels, rows, alpha_max, alpha_min, t_eps,
-                n_tiles, fill_skipped=False):
+                n_tiles, pair_len, fill_skipped=False):
     # Slab init (BWD_INIT): the walk never writes chunks past each tile's
     # last contributor. "alias_zeros" aliases a full zeros array into the
     # output; "kernel_fill" instead zero-writes ONLY those skipped chunks
@@ -322,15 +359,25 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     ox = origin_ref[2 * t]
     oy = origin_ref[2 * t + 1]
     nchunks = pl.cdiv(count, CHUNK)
+    # last chunk containing any contributor — precomputed in the glue from
+    # the forward's per-pixel n_contrib channel (one [T] reduction there
+    # replaces a per-tile max reduce here AND makes the cross-tile DMA
+    # handoff target exact)
+    j_hi = jhi_ref[t]
 
+    # loop-invariant tables built once at t == 0, persistent across the
+    # sequential grid (see _fwd_kernel)
     @pl.when(t == 0)
     def _():
         wcnt[0] = 0
+        flat = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+        mpix_s[...] = _pixel_monomials(flat, ts, P)          # [P, 8]
+        sli_s[...] = _tri_mask(CHUNK, lambda r, c: r >= c)   # suffix-incl
+        slx_s[...] = _tri_mask(CHUNK, lambda r, c: r > c)    # suffix-excl
 
-    flat = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
-    mpix = _pixel_monomials(flat, ts, P)                     # [P, 8]
-    sli = _tri_mask(CHUNK, lambda r, c: r >= c)              # suffix-incl
-    slx = _tri_mask(CHUNK, lambda r, c: r > c)               # suffix-excl
+    mpix = mpix_s[...]
+    sli = sli_s[...]
+    slx = slx_s[...]
     oxf = ox.astype(jnp.float32)
     oyf = oy.astype(jnp.float32)
 
@@ -360,12 +407,9 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         return pltpu.make_async_copy(
             wbuf.at[slot], gout_hbm.at[pl.ds(0, CHUNK), :], wsem.at[slot])
 
-    # start from the last chunk that contains any contributor
-    max_pos = jnp.max(ncontrib).astype(jnp.int32)
-    j_hi = jnp.where(max_pos < lo, -1,
-                     jnp.minimum((max_pos - lo) // CHUNK, nchunks - 1))
-
-    @pl.when(j_hi >= 0)
+    # the first tile starts its own walk DMA; later tiles' were started by
+    # their predecessor's epilogue handoff (gated on j_hi >= 0 there)
+    @pl.when((t == 0) & (j_hi >= 0))
     def _():
         get_dma(0, j_hi).start()
 
@@ -391,11 +435,13 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
                                                            rows, ts)
         power = _dot_f32(mpix, c8, (((1,), (0,)), ((), ())),
                          exact_a=True)                       # [P, CHUNK]
-        e = jnp.exp(jnp.minimum(power, 0.0))
+        # keep-eps test folded into the exponent (as in the forward):
+        # rejected pairs get e ~ 4e-18 -> killed by the alpha_min cut
+        e = jnp.exp(jnp.where(power <= keep_eps,
+                              jnp.minimum(power, 0.0), -40.0))
         raw = op * e
-        alpha = jnp.minimum(raw, alpha_max)
-        keep = (power <= keep_eps) & (alpha >= alpha_min)
-        alpha = jnp.where(keep, alpha, 0.0)
+        keep = raw >= alpha_min
+        alpha = jnp.where(keep, jnp.minimum(raw, alpha_max), 0.0)
 
         b = keep & (jnp.broadcast_to(pos, (P, CHUNK)) <= ncontrib)
         # suffix-inclusive cumprod of (1-alpha) over blended pairs, in log
@@ -496,9 +542,14 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
         # 0..rows, rest zero) so the rank-sort row gather downstream reads
         # contiguous rows — XLA gathers from an attr-major buffer run ~5x
         # slower (16 strided 4-B reads per pair). 128 lanes because Mosaic
-        # rejects DMA slabs whose lane dim is not a 128-multiple.
+        # rejects DMA slabs whose lane dim is not a 128-multiple. The slab
+        # dtype (GRAD_SLAB_DTYPE) may be bf16: per-pair grads round at
+        # ~0.4% relative BEFORE the f32 segmented reduction — under the
+        # kernels' own MXU bf16 compositing noise floor — and the slab
+        # write + rank gather are pure HBM traffic that halves.
         wbuf[wslot] = jnp.concatenate(
-            [upd.T, jnp.zeros((CHUNK, 128 - rows), jnp.float32)], axis=1)
+            [upd.T, jnp.zeros((CHUNK, 128 - rows), jnp.float32)],
+            axis=1).astype(wbuf.dtype)
         write_start(wslot, j).start()
         wcnt[0] = wi + 1
 
@@ -515,6 +566,17 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     jax.lax.while_loop(cond, body, (j_hi, t_final, jnp.zeros((P, 1),
                                                             jnp.float32)))
 
+    # cross-tile handoff: start the NEXT tile's first walk chunk (its
+    # j_hi) now — slot 0 is drained (the walk's final wait was at j = 0,
+    # slot rem(j_hi, 2)... every started DMA has been waited by the loop)
+    @pl.when((t + 1 < n_tiles) & (jhi_ref[t + 1] >= 0))
+    def _():
+        nlo = (jnp.minimum(
+            starts_ref[t + 1] + jhi_ref[t + 1] * CHUNK,
+            pair_len - CHUNK) // CHUNK) * CHUNK
+        pltpu.make_async_copy(gpair_hbm.at[:, pl.ds(nlo, CHUNK)],
+                              gbuf.at[0], gsem.at[0]).start()
+
     if fill_skipped:
         # zero-write the chunks the walk skipped (beyond the tile's last
         # contributor), through the same write ring
@@ -526,7 +588,7 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
             def _():
                 write_waiter(wslot).wait()
 
-            wbuf[wslot] = jnp.zeros((CHUNK, 128), jnp.float32)
+            wbuf[wslot] = jnp.zeros((CHUNK, 128), wbuf.dtype)
             write_start(wslot, j).start()
             wcnt[0] = wi + 1
             return j + 1
@@ -582,14 +644,16 @@ def _build_per_g(xy, conic, opacity, depth, colors, order_p):
 
 
 def _compact_copy_kernel(x_ref, o_ref):
-    o_ref[...] = x_ref[...]
+    o_ref[...] = x_ref[...].astype(o_ref.dtype)
 
 
 def _force_compact(x, interpret):
-    """Identity pass-through pallas call: pins ``x`` [rows, PC] to the
-    canonical compact (rows-sublane, PC-lane) layout. XLA inserts the
-    relayout copy in front when the producer (e.g. a transposed row gather)
-    left the buffer PAIR-major (16 lanes padded to 128 -> 8x bytes)."""
+    """Pass-through pallas call: pins ``x`` [rows, PC] to the canonical
+    compact (rows-sublane, PC-lane) layout, upcasting to f32 (the segscan
+    accumulates in f32 whatever GRAD_SLAB_DTYPE the slab used). XLA inserts
+    the relayout copy in front when the producer (e.g. a transposed row
+    gather) left the buffer PAIR-major (16 lanes padded to 128 -> 8x
+    bytes)."""
     rows, PC = x.shape
     blk = 128 * 64
     grid = -(-PC // blk)
@@ -598,7 +662,7 @@ def _force_compact(x, interpret):
         grid=(grid,),
         in_specs=[pl.BlockSpec((rows, blk), lambda i: (0, i))],
         out_specs=pl.BlockSpec((rows, blk), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((rows, PC), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows, PC), jnp.float32),
         interpret=interpret,
     )(x)
 
@@ -693,7 +757,8 @@ def _run_fwd_kernel(starts, counts, origins, gpair, T, P, C, rows, cfg,
     kernel = functools.partial(_fwd_kernel, ts=cfg.tile_size, n_channels=C,
                                rows=rows, alpha_max=cfg.alpha_max,
                                alpha_min=cfg.alpha_min,
-                               t_eps=cfg.transmittance_eps)
+                               t_eps=cfg.transmittance_eps,
+                               n_tiles=T, pair_len=gpair.shape[1])
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(T,),
@@ -707,12 +772,15 @@ def _run_fwd_kernel(starts, counts, origins, gpair, T, P, C, rows, cfg,
         scratch_shapes=[
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((P, 8), jnp.float32),          # mpix (persistent)
+            pltpu.VMEM((CHUNK, CHUNK), jnp.float32),  # su (persistent)
         ],
     )
     return pl.pallas_call(
         kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((T, C + 4, P), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(starts, counts, origins, gpair)
 
 
@@ -832,6 +900,15 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
 # Module-level so tools/exp_bwd_glue.py can flip it per-variant on chip.
 BWD_INIT = "kernel_fill"
 
+# Dtype of the per-pair gradient slab the backward kernel writes to HBM and
+# the rank-sort gather re-reads (the two biggest pure-HBM passes of the
+# backward glue: [PC, 128] lane-padded). bf16 halves both at ~0.4%
+# relative per-pair rounding BEFORE the f32 segmented reduction; sums that
+# nearly cancel across pairs lose relative accuracy, so f32 stays the
+# default until the on-chip win + tpu_parity_check justify flipping.
+GRAD_SLAB_DTYPE = (jnp.bfloat16 if os.environ.get("SPLATLOC_GRAD_SLAB")
+                   == "bf16" else jnp.float32)
+
 
 def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
                     rows, cfg, interpret):
@@ -845,7 +922,16 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
                                alpha_max=cfg.alpha_max,
                                alpha_min=cfg.alpha_min,
                                t_eps=cfg.transmittance_eps, n_tiles=T,
-                               fill_skipped=fill)
+                               pair_len=PC, fill_skipped=fill)
+    # per-tile last-contributor chunk from the forward's n_contrib channel:
+    # one [T]-sized reduction here replaces a per-tile in-kernel max reduce
+    # and gives the cross-tile DMA handoff its exact target
+    max_pos = jnp.max(fwd_out[:, C + 2, :], axis=-1).astype(jnp.int32)
+    lo_t = (starts // CHUNK) * CHUNK
+    nchunks_t = -(-counts // CHUNK)
+    jhi = jnp.where(max_pos < lo_t, -1,
+                    jnp.minimum((max_pos - lo_t) // CHUNK, nchunks_t - 1))
+    jhi = jhi.astype(jnp.int32)
     # interpret mode (CPU tests) zero-fills the whole out buffer via the
     # alias so the kernel_fill sentinel-tail argument, which relies on the
     # reduction masking, is ALSO exercised: keep the alias only for
@@ -858,31 +944,35 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
         pl.BlockSpec((1, C + 2, P), lambda t, *_: (t, 0, 0),
                      memory_space=pltpu.VMEM),             # cotangent
     ]
-    operands = [starts, counts, origins, gpair, fwd_out, cot]
+    operands = [starts, counts, origins, jhi, gpair, fwd_out, cot]
     if alias:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.HBM))  # zeros (alias)
-        operands.append(jnp.zeros((PC, 128), jnp.float32))
+        operands.append(jnp.zeros((PC, 128), GRAD_SLAB_DTYPE))
         kern = kernel
     else:
-        def kern(s, c, o, gp, f, ct, gout, *scratch, **kw):
-            return kernel(s, c, o, gp, f, ct, None, gout, *scratch, **kw)
+        def kern(s, c, o, jh, gp, f, ct, gout, *scratch, **kw):
+            return kernel(s, c, o, jh, gp, f, ct, None, gout, *scratch,
+                          **kw)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(T,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
             pltpu.VMEM((2, rows, CHUNK), jnp.float32),
-            pltpu.VMEM((2, CHUNK, 128), jnp.float32),
+            pltpu.VMEM((2, CHUNK, 128), GRAD_SLAB_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SMEM((1,), jnp.int32),
+            pltpu.VMEM((P, 8), jnp.float32),          # mpix (persistent)
+            pltpu.VMEM((CHUNK, CHUNK), jnp.float32),  # sli (persistent)
+            pltpu.VMEM((CHUNK, CHUNK), jnp.float32),  # slx (persistent)
         ],
     )
     return pl.pallas_call(
         kern, grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((PC, 128), jnp.float32),
-        input_output_aliases={6: 0} if alias else {},
+        out_shape=jax.ShapeDtypeStruct((PC, 128), GRAD_SLAB_DTYPE),
+        input_output_aliases={7: 0} if alias else {},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(*operands)

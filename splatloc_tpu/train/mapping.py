@@ -327,6 +327,24 @@ def make_refinement_step(cfg: MappingConfig):
     return step_fn
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height", "cfg"))
+def _pair_need_probe(scene, camera, width: int, height: int, cfg):
+    """Exact aligned pair-array need of one view (pairs.pair_need) — a
+    module-level jit so repeated growth-phase probes hit the compile cache
+    (a per-call closure jit recompiled every probe)."""
+    from splatloc_tpu.raster import binning, pairs, project
+    proj = project.project_gaussians(
+        scene.xyz, scene.scaling_activated(), scene.rotation, camera, cfg,
+        alive=scene.alive, opacities=scene.opacity_activated())
+    order = binning.depth_sort(proj)
+    if cfg.visible_cap is not None:
+        order = order[:cfg.visible_cap]
+    return pairs.pair_need(jnp.take(proj.xy, order, axis=0),
+                           jnp.take(proj.radius_xy, order, axis=0),
+                           jnp.take(proj.visible, order),
+                           width, height, cfg)
+
+
 def _miscap(capacity: int) -> int:
     """Nudge a Gaussian capacity off exact 1024-multiples: every
     capacity-sized row gather in the step (rect pack, grad unsort, run-end
@@ -388,6 +406,10 @@ class MappingTrainer:
             point_size=self.cfg.point_size,
             adaptive_pointsize=self.cfg.adaptive_pointsize)
         self._refresh_visible_cap()
+        if self.cfg.pair_cap_override is not None:
+            # preemptive ladder grow on the fresh frame: cheaper than a
+            # drop -> escalation -> re-tighten double recompile
+            self._ladder_pair_cap(sample=np.asarray([idx]), shrink_ok=False)
         return idx
 
     def _check_pair_truncation(self):
@@ -549,38 +571,83 @@ class MappingTrainer:
                         primitive_reg=cfg.primitive_reg,
                         marker_thresh=cfg.marker_thresh))
                 self._refresh_visible_cap()
+                self._ladder_pair_cap()
             elif self.iteration % cfg.gaussian_reset == 0:
                 self.scene, self.opt_state = densify.reset_opacity_nonvisible(
                     self.scene, self.opt_state, vis_union)
         return float(loss)
 
+    # minimum iterations between growth-phase ladder recompiles (3 densify
+    # cycles at the default cadence): bounds recompile churn while the
+    # drop-counter escalation path still catches any under-capacity
+    # immediately
+    _LADDER_MIN_INTERVAL = 450
+
+    def _ladder_pair_cap(self, headroom: float = 1.4,
+                         sample: np.ndarray | None = None,
+                         shrink_ok: bool = True):
+        """Growth-phase probe-driven pair caps (the refinement-entry
+        tighten_pair_cap extended to the densify cadence, VERDICT r4 #3):
+        probe the exact aligned pair need of a keyframe sample, quantize to
+        a coarse ladder tier, and step pair_cap_override between tiers with
+        hysteresis — shrink only for a >=25% saving, grow preemptively when
+        the need approaches the current budget (cheaper than waiting for a
+        drop -> escalation -> re-tighten double recompile). The probe jit is
+        cached across ladder steps (its cfg is normalized to the fields
+        pair_need actually reads), so re-probing costs one dispatch per
+        sampled frame, not a recompile."""
+        import dataclasses
+        if self.frames.n == 0:
+            return
+        if sample is None:
+            if (self.iteration - getattr(self, "_ladder_last", -10**9)
+                    < self._LADDER_MIN_INTERVAL):
+                return
+            # the most recent frames dominate the need (fresh insertions
+            # render big) + a spread over history
+            recent = np.arange(max(0, self.frames.n - 3), self.frames.n)
+            spread = np.linspace(0, self.frames.n - 1,
+                                 min(5, self.frames.n), dtype=int)
+            sample = np.unique(np.concatenate([recent, spread]))
+        from splatloc_tpu.raster import pairs
+        need = self._probe_pair_need(sample)
+        rcfg = self.cfg.raster_config()
+        n_ranks = (rcfg.visible_cap if rcfg.visible_cap is not None
+                   else self.scene.capacity)
+        cur = pairs.aligned_cap(rcfg, n_ranks, self.cfg.width,
+                                self.cfg.height)
+        q = max(16384, 1 << int(np.log2(max(need, 1) / 6 + 1)))
+        target = int(np.ceil(need * headroom / q)) * q
+        grow = need * 1.1 > cur           # about to overflow: raise now
+        shrink = shrink_ok and target < cur * 0.75  # >=25% glue saving
+        if not (grow or shrink):
+            return
+        ts = self.cfg.tile_size
+        T = ((-(-self.cfg.width // ts)) * (-(-self.cfg.height // ts)))
+        override = max(max(target, int(need * 1.2)) - T * pairs.ALIGN,
+                       pairs.ALIGN)
+        self._ladder_last = self.iteration
+        self.cfg = dataclasses.replace(self.cfg,
+                                       pair_cap_override=override)
+        self._mapping_step = make_mapping_step(self.cfg)
+        self._refine_step = make_refinement_step(self.cfg)
+
     def _probe_pair_need(self, frame_indices) -> int:
         """Exact aligned pair-array need (pairs.pair_need) of the current
         scene over the given keyframes, under the current raster config."""
-        from splatloc_tpu.raster import binning, pairs, project
+        import dataclasses
         rcfg = self.cfg.raster_config()
-        cam0 = self.camera
-        scene = self.scene
-
-        @jax.jit
-        def probe(w2c):
-            c = cam0.replace_pose(w2c)
-            proj = project.project_gaussians(
-                scene.xyz, scene.scaling_activated(), scene.rotation, c,
-                rcfg, alive=scene.alive,
-                opacities=scene.opacity_activated())
-            order = binning.depth_sort(proj)
-            if rcfg.visible_cap is not None:
-                order = order[:rcfg.visible_cap]
-            return pairs.pair_need(jnp.take(proj.xy, order, axis=0),
-                                   jnp.take(proj.radius_xy, order, axis=0),
-                                   jnp.take(proj.visible, order),
-                                   self.cfg.width, self.cfg.height, rcfg)
-
+        # normalize fields pair_need never reads so ladder steps (which
+        # change only the pair caps) reuse the compiled probe
+        probe_cfg = dataclasses.replace(
+            rcfg, pair_cap_override=None, pair_cap_factor=1,
+            max_per_tile=1024, tile_chunk=64, shard_pair_margin=2.0)
         need = 0
         for i in frame_indices:
             w2c = jnp.asarray(self.frames.w2c[int(i)])
-            need = max(need, int(probe(w2c)))
+            need = max(need, int(_pair_need_probe(
+                self.scene, self.camera.replace_pose(w2c),
+                self.cfg.width, self.cfg.height, probe_cfg)))
         return need
 
     def tighten_pair_cap(self, headroom: float = 1.25,

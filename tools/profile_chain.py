@@ -11,6 +11,7 @@ import collections
 import glob
 import gzip
 import json
+import os
 import shutil
 import sys
 import time
@@ -155,8 +156,9 @@ def main():
         i = bisect.bisect_right([x for x, _ in ends], at) - 1
         prev = ends[i][1] if i >= 0 else "?"
         print(f"  gap {int(g)}us after {prev[:80]}")
+    top_n = int(os.environ.get("PROFILE_TOP_N", "30"))
     print(f"\n== device ops over {iters} iters")
-    for name, d in durs.most_common(30):
+    for name, d in durs.most_common(top_n):
         det = details.get(name, "")
         extra = f"\n            {det}" if det else ""
         print(f"{d / 1e3 / iters:9.3f} ms/iter  x{counts[name] // iters:4d}  "
