@@ -38,16 +38,30 @@ ALIGN = 128
 _I32_MAX = np.iinfo(np.int32).max
 
 
+def _components(xy, radius_xy):
+    """(u, v, rx, ry) 1-D vectors from either [N, 2] arrays or (u, v) /
+    (rx, ry) tuples — the tuple form avoids materializing [N, 2] arrays,
+    whose (8,128) tiling lane-pads 2 -> 128 (64x physical bytes)."""
+    if isinstance(xy, tuple):
+        u, v = xy
+    else:
+        u, v = xy[:, 0], xy[:, 1]
+    if isinstance(radius_xy, tuple):
+        rx, ry = radius_xy
+    else:
+        rx, ry = radius_xy[:, 0], radius_xy[:, 1]
+    return u, v, rx, ry
+
+
 def _tile_rects(xy, radius_xy, width, height, ts):
     """Per-Gaussian touched-tile rectangle (clipped to the tile grid).
-    radius_xy [N, 2] carries per-axis extents (the opacity-aware ellipse
+    radius_xy carries per-axis extents (the opacity-aware ellipse
     AABB from project.project_gaussians — the reference CUDA getRect uses a
     3 sigma_max square, which for anisotropic splats emits tiles whose every
     pixel blends to exactly zero)."""
     gx = -(-width // ts)
     gy = -(-height // ts)
-    u, v = xy[:, 0], xy[:, 1]
-    rx, ry = radius_xy[:, 0], radius_xy[:, 1]
+    u, v, rx, ry = _components(xy, radius_xy)
     tsf = float(ts)
     # exclusive max = floor((u + r)/ts) + 1: the last tile with any pixel
     # center <= u + r. (floor((u + r + ts - 1)/ts) misses that tile when
@@ -250,7 +264,7 @@ def _counts_and_geometry(xy, radius_xy, visible, width, height, cfg,
     gy = -(-height // ts)
     gxp = gx + 1
     G = gxp * (gy + 1)
-    N = xy.shape[0]
+    N = (xy[0] if isinstance(xy, tuple) else xy).shape[0]
     rminx, rminy, aw, awc, m, area, n_trunc = _emission(
         xy, radius_xy, visible, width, height, ts, max_tiles)
     ids = _corner_blocks(rminx, rminy, aw, awc, m, G, gxp, False)
@@ -272,7 +286,7 @@ def pair_stats(xy, radius_xy, visible, width: int, height: int,
                cfg: RasterConfig):
     """Exact (n_pairs_kept, n_dropped, n_trunc) of build_pairs without the
     main sort (same corner-histogram counts + the same cap arithmetic)."""
-    N = xy.shape[0]
+    N = (xy[0] if isinstance(xy, tuple) else xy).shape[0]
     max_tiles, pair_cap = resolve_caps(cfg, N)
     gx, gy, *_rest = geo = _counts_and_geometry(
         xy, radius_xy, visible, width, height, cfg, max_tiles)
@@ -295,7 +309,7 @@ def pair_need(xy, radius_xy, visible, width: int, height: int,
     measure once on a representative frame, then compile the hot program
     with a zero-slack pair array. Pass the result MINUS the T*ALIGN fill
     reserve as the override (cap arithmetic adds the reserve back)."""
-    N = xy.shape[0]
+    N = (xy[0] if isinstance(xy, tuple) else xy).shape[0]
     max_tiles, _ = resolve_caps(cfg, N)
     geo = _counts_and_geometry(xy, radius_xy, visible, width, height,
                                cfg, max_tiles)
@@ -323,7 +337,7 @@ def build_pairs(xy, radius_xy, visible, width: int, height: int,
     gx = -(-width // ts)
     gy = -(-height // ts)
     T = gx * gy
-    N = xy.shape[0]
+    N = (xy[0] if isinstance(xy, tuple) else xy).shape[0]
     assert N < IDX_MASK, N
     assert T < (1 << (31 - IDX_BITS)), T
     max_tiles, pair_cap = resolve_caps(cfg, N, max_tiles, pair_cap)
@@ -339,27 +353,32 @@ def build_pairs(xy, radius_xy, visible, width: int, height: int,
     astarts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                                jnp.cumsum(asize).astype(jnp.int32)])[:-1]
 
-    slot = jnp.arange(max_tiles, dtype=jnp.int32)
-    dx = slot[None, :] % awc[:, None]
-    dy = slot[None, :] // awc[:, None]
-    tile = (rminy[:, None] + dy) * gx + rminx[:, None] + dx      # [N, MT]
+    # SLOT-MAJOR [MT, N] emission tables: the [N, MT] orientation lane-pads
+    # MT=6 -> 128 under the (8,128) tiling (measured ~0.95 ms/iter of pure
+    # padding traffic across the broadcasts/iotas/reshapes at N=100k);
+    # slot-major keeps N on lanes. The sort consumes a multiset — emission
+    # order is irrelevant.
+    slot = jnp.arange(max_tiles, dtype=jnp.int32)[:, None]       # [MT, 1]
+    dx = slot % awc[None, :]
+    dy = slot // awc[None, :]
+    tile = (rminy[None, :] + dy) * gx + rminx[None, :] + dx      # [MT, N]
     ridx = jnp.arange(N, dtype=jnp.int32)
-    key = jnp.where(slot[None, :] < m[:, None],
-                    (tile << IDX_BITS) | ridx[:, None], jnp.int32(_I32_MAX))
+    key = jnp.where(slot < m[None, :],
+                    (tile << IDX_BITS) | ridx[None, :], jnp.int32(_I32_MAX))
     key_blocks = [key.reshape(-1)]
 
     for bidx, brminx, brminy, bawc, m1, m2, cap in geo:
         # giant-splat extension keys: cells [m1, m2) of this tier's rects
-        slot2 = jnp.arange(cap, dtype=jnp.int32)
-        dx2 = slot2[None, :] % bawc[:, None]
-        dy2 = slot2[None, :] // bawc[:, None]
-        ok2 = (slot2[None, :] >= m1[:, None]) & (slot2[None, :] < m2[:, None])
+        slot2 = jnp.arange(cap, dtype=jnp.int32)[:, None]        # [cap, 1]
+        dx2 = slot2 % bawc[None, :]
+        dy2 = slot2 // bawc[None, :]
+        ok2 = (slot2 >= m1[None, :]) & (slot2 < m2[None, :])
         # clamp the masked-out branch: dy2 can run past the rect for small
         # rects and the tile id would overflow the shift
-        tile2 = jnp.where(ok2, (brminy[:, None] + dy2) * gx
-                          + brminx[:, None] + dx2, 0)
+        tile2 = jnp.where(ok2, (brminy[None, :] + dy2) * gx
+                          + brminx[None, :] + dx2, 0)
         key_blocks.append(jnp.where(
-            ok2, (tile2 << IDX_BITS) | bidx[:, None],
+            ok2, (tile2 << IDX_BITS) | bidx[None, :],
             jnp.int32(_I32_MAX)).reshape(-1))
 
     lane = jnp.arange(ALIGN, dtype=jnp.int32)

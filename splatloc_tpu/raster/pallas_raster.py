@@ -49,10 +49,15 @@ from splatloc_tpu.raster.types import RasterConfig
 R_X, R_Y, R_CA, R_CB, R_CC, R_OP, R_DEPTH = 0, 1, 2, 3, 4, 5, 6
 N_FIXED = 7
 CHUNK = 128
+# chunk-walk prefetch ring depth: the walks are HBM-LATENCY-bound (see
+# _fwd_kernel note), so NPF-1 chunk loads stay in flight
+NPF = 4
 
 
 def _rows_for(c: int) -> int:
-    need = N_FIXED + c
+    # + 3: the binning rect rows (radius_x, radius_y, visible) ride in the
+    # table (see _build_per_g)
+    need = N_FIXED + c + 3
     if need <= 8:
         return 8
     return 16 if need <= 16 else 32
@@ -212,6 +217,17 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     def _():
         get_dma(0, 0).wait()
 
+    # prime the deep prefetch ring: chunks 1..NPF-1 in flight before the
+    # walk starts (chunk 0 was started above or by the handoff). The walk
+    # is DMA-LATENCY-bound, not compute-bound — removing a whole
+    # [P,C]x[C,C] MXU op per chunk measured ZERO time change — so the ring
+    # keeps NPF-1 loads in flight to hide the ~1 us HBM latency behind
+    # NPF-1 chunks of compute.
+    for k in range(1, NPF):
+        @pl.when(nchunks > k)
+        def _(k=k):
+            get_dma(k, k).start()
+
     mpix = mpix_s[...]
     su = su_s[...]
 
@@ -221,11 +237,12 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 
     def body(state):
         j, t_carry, t_blend, acc, ncontrib = state
-        slot = jax.lax.rem(j, 2)
+        slot = jax.lax.rem(j, NPF)
 
-        @pl.when(j + 1 < nchunks)
+        # j == 0's lookahead (chunk NPF-1) was already primed above
+        @pl.when((j >= 1) & (j + NPF - 1 < nchunks))
         def _():
-            get_dma(jax.lax.rem(j + 1, 2), j + 1).start()
+            get_dma(jax.lax.rem(j + NPF - 1, NPF), j + NPF - 1).start()
 
         get_dma(slot, j).wait()
         g = gbuf[slot]
@@ -303,9 +320,12 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
     j_end, _, t_blend, acc, ncontrib = jax.lax.while_loop(
         cond, body, (0, t0, t0, acc0, nc0))
 
-    @pl.when((j_end > 0) & (j_end < nchunks))
-    def _():
-        get_dma(jax.lax.rem(j_end, 2), j_end).wait()
+    # early-exit drain: iterations 0..j_end-1 started chunks up to
+    # j_end + NPF - 2 — wait every in-flight slot before reusing the ring
+    for k in range(NPF - 1):
+        @pl.when((j_end > 0) & (j_end + k < nchunks))
+        def _(k=k):
+            get_dma(jax.lax.rem(j_end + k, NPF), j_end + k).wait()
 
     # cross-tile handoff: start the NEXT tile's chunk-0 DMA now (slot 0 is
     # drained — every in-flight DMA above has been waited), so its HBM
@@ -337,7 +357,7 @@ def _fwd_kernel(starts_ref, counts_ref, origin_ref,          # scalar prefetch
 def _bwd_kernel(starts_ref, counts_ref, origin_ref, jhi_ref,  # scalar prefetch
                 gpair_hbm, fwd_ref, cot_ref, gzero_hbm,      # inputs
                 gout_hbm,                                    # [PC, 128] HBM
-                gbuf, wbuf, gsem, wsem, wcnt, mpix_s, sli_s, slx_s,  # scratch
+                gbuf, wbuf, gsem, wsem, wcnt, mpix_s, sli_s,  # scratch
                 *, ts, n_channels, rows, alpha_max, alpha_min, t_eps,
                 n_tiles, pair_len, fill_skipped=False):
     # Slab init (BWD_INIT): the walk never writes chunks past each tile's
@@ -373,11 +393,12 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref, jhi_ref,  # scalar prefetch
         flat = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
         mpix_s[...] = _pixel_monomials(flat, ts, P)          # [P, 8]
         sli_s[...] = _tri_mask(CHUNK, lambda r, c: r >= c)   # suffix-incl
-        slx_s[...] = _tri_mask(CHUNK, lambda r, c: r > c)    # suffix-excl
+        # zero the write slabs once: per-chunk stores touch only the data
+        # lanes (0..rows-1); the pad lanes stay zero forever
+        wbuf[...] = jnp.zeros_like(wbuf)
 
     mpix = mpix_s[...]
     sli = sli_s[...]
-    slx = slx_s[...]
     oxf = ox.astype(jnp.float32)
     oyf = oy.astype(jnp.float32)
 
@@ -413,15 +434,25 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref, jhi_ref,  # scalar prefetch
     def _():
         get_dma(0, j_hi).start()
 
+    # prime the deep prefetch ring (walk runs j_hi -> 0): chunks
+    # j_hi-1..j_hi-(NPF-1) in flight before the first iteration — the walk
+    # is HBM-latency-bound like the forward's
+    for k in range(1, NPF):
+        @pl.when(j_hi - k >= 0)
+        def _(k=k):
+            get_dma(k, j_hi - k).start()
+
     lane1 = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     def body(state):
         j, t_end, s_end = state
-        slot = jax.lax.rem(j_hi - j, 2)
+        slot = jax.lax.rem(j_hi - j, NPF)
 
-        @pl.when(j - 1 >= 0)
+        # j == j_hi's lookahead (chunk j_hi - NPF + 1) was already primed
+        @pl.when((j < j_hi) & (j - (NPF - 1) >= 0))
         def _():
-            get_dma(jax.lax.rem(j_hi - (j - 1), 2), j - 1).start()
+            get_dma(jax.lax.rem(j_hi - (j - (NPF - 1)), NPF),
+                    j - (NPF - 1)).start()
 
         get_dma(slot, j).wait()
         g = gbuf[slot]
@@ -468,9 +499,11 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref, jhi_ref,  # scalar prefetch
         bw = jnp.where(b, 1.0, 0.0)
         w = bw * alpha * t_exc
         wu = w * u
-        # exclusive suffix cumsum of wu: ONE MXU matmul
-        s_in = s_end + jax.lax.dot_general(
-            wu, slx, dimension_numbers=(((1,), (0,)), ((), ())),
+        # exclusive suffix cumsum of wu: the suffix-EXCLUSIVE triangular is
+        # sli - I, so reuse the inclusive mask and subtract wu — one big
+        # [P,C]x[C,C] MXU op per chunk instead of two
+        s_in = s_end - wu + jax.lax.dot_general(
+            wu, sli, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         one_m = 1.0 - alpha
         dalpha = bw * (t_exc * u - s_in / one_m)
@@ -532,9 +565,9 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref, jhi_ref,  # scalar prefetch
         # (aligned segments: no slab is shared between tiles, so no RMW and
         # no ordering constraint between writes)
         wi = wcnt[0]
-        wslot = jax.lax.rem(wi, 2)
+        wslot = jax.lax.rem(wi, NPF)
 
-        @pl.when(wi >= 2)
+        @pl.when(wi >= NPF)
         def _():
             write_waiter(wslot).wait()
 
@@ -546,10 +579,10 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref, jhi_ref,  # scalar prefetch
         # dtype (GRAD_SLAB_DTYPE) may be bf16: per-pair grads round at
         # ~0.4% relative BEFORE the f32 segmented reduction — under the
         # kernels' own MXU bf16 compositing noise floor — and the slab
-        # write + rank gather are pure HBM traffic that halves.
-        wbuf[wslot] = jnp.concatenate(
-            [upd.T, jnp.zeros((CHUNK, 128 - rows), jnp.float32)],
-            axis=1).astype(wbuf.dtype)
+        # write + rank gather are pure HBM traffic that halves. Lanes
+        # rows..127 were zeroed once at t == 0 (every store leaves them 0),
+        # so only the data lanes are stored per chunk.
+        wbuf[wslot, :, :rows] = upd.T.astype(wbuf.dtype)
         write_start(wslot, j).start()
         wcnt[0] = wi + 1
 
@@ -582,13 +615,13 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref, jhi_ref,  # scalar prefetch
         # contributor), through the same write ring
         def zbody(j):
             wi = wcnt[0]
-            wslot = jax.lax.rem(wi, 2)
+            wslot = jax.lax.rem(wi, NPF)
 
-            @pl.when(wi >= 2)
+            @pl.when(wi >= NPF)
             def _():
                 write_waiter(wslot).wait()
 
-            wbuf[wslot] = jnp.zeros((CHUNK, 128), wbuf.dtype)
+            wbuf[wslot, :, :rows] = jnp.zeros((CHUNK, rows), wbuf.dtype)
             write_start(wslot, j).start()
             wcnt[0] = wi + 1
             return j + 1
@@ -599,14 +632,10 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref, jhi_ref,  # scalar prefetch
     @pl.when(t == n_tiles - 1)
     def _():
         wi = wcnt[0]
-
-        @pl.when(wi >= 1)
-        def _():
-            write_waiter(jax.lax.rem(wi - 1, 2)).wait()
-
-        @pl.when(wi >= 2)
-        def _():
-            write_waiter(jax.lax.rem(wi - 2, 2)).wait()
+        for k in range(1, NPF + 1):
+            @pl.when(wi >= k)
+            def _(k=k):
+                write_waiter(jax.lax.rem(wi - k, NPF)).wait()
 
 
 # --------------------------------------------------------------------------
@@ -620,7 +649,8 @@ def _bwd_kernel(starts_ref, counts_ref, origin_ref, jhi_ref,  # scalar prefetch
 PACK_MODE = "rows"
 
 
-def _build_per_g(xy, conic, opacity, depth, colors, order_p):
+def _build_per_g(xy, conic, opacity, depth, colors, order_p,
+                 radius_xy=None, visible_f=None):
     """DEPTH-SORTED per-Gaussian attribute table [rows, n+1] (column n = all
     zeros -> the inert padding sentinel). One N-sized take instead of a
     PC-sized gauss-index compose: the pair ranks then index this table
@@ -628,19 +658,37 @@ def _build_per_g(xy, conic, opacity, depth, colors, order_p):
 
     Built as ONE stack + pad: a chain of row dynamic-update-slices into a
     [rows, n] table measured ~2.3 ms/iter at n=100k (each row write is a
-    lane-strided pass over the whole table); the stack is a single fusion."""
+    lane-strided pass over the whole table); the stack is a single fusion.
+
+    The binning rect quantities (radius_xy, visible) ride in three of the
+    table's padding rows (indices from _rect_rows): a separate [N, 5] rect
+    stack + row gather materialized five lane-padded [N, <128] arrays
+    (measured ~0.6 ms/iter at N=100k — a [N, k<128] f32 array tiles to
+    (8,128), 32x physical bytes); here they reuse the table's compact
+    [rows, n] layout and its one order gather. The kernels ignore the
+    extra rows; their grad-slab rows are zero."""
     n = xy.shape[0]
     c = colors.shape[-1]
     rows = _rows_for(c)
     chans = [xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
              opacity, depth]                       # R_X..R_DEPTH order
     chans += [colors[:, i] for i in range(c)]      # N_FIXED..
+    if radius_xy is not None:
+        rx, ry = (radius_xy if isinstance(radius_xy, tuple)
+                  else (radius_xy[:, 0], radius_xy[:, 1]))
+        chans += [rx, ry, visible_f]
     if len(chans) < rows:
         z = jnp.zeros((n,), jnp.float32)
         chans += [z] * (rows - len(chans))
     per_g = jnp.stack(chans, axis=0)               # [rows, n]
     per_g = jnp.pad(per_g, ((0, 0), (0, 1)))       # sentinel column n
     return jnp.take(per_g, order_p, axis=1)        # [rows, n+1]
+
+
+def _rect_rows(c: int) -> tuple[int, int, int]:
+    """(radius_x, radius_y, visible) row indices in the per-Gaussian
+    table for C = c channels."""
+    return N_FIXED + c, N_FIXED + c + 1, N_FIXED + c + 2
 
 
 def _compact_copy_kernel(x_ref, o_ref):
@@ -770,8 +818,8 @@ def _run_fwd_kernel(starts, counts, origins, gpair, T, P, C, rows, cfg,
         out_specs=pl.BlockSpec((1, C + 4, P), lambda t, *_: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NPF, rows, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((NPF,)),
             pltpu.VMEM((P, 8), jnp.float32),          # mpix (persistent)
             pltpu.VMEM((CHUNK, CHUNK), jnp.float32),  # su (persistent)
         ],
@@ -813,21 +861,24 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     n_vis_dropped = jnp.maximum(n_vis - K, 0)
     order = order[:K]
 
-    # one [K,5] row gather for the rect quantities: separate 1-D [order]
-    # gathers measured ~1.7 ms/iter at 100k (XLA 1-D gathers run at
-    # ~150M elem/s) while a row gather is ~0.15 ms
-    rect = jnp.take(jnp.stack([xy[:, 0], xy[:, 1], radius[:, 0],
-                               radius[:, 1],
-                               visible.astype(jnp.float32)], axis=-1),
-                    order, axis=0)
+    # the binning rect quantities ride in three padding rows of the
+    # attribute table (see _build_per_g) — one shared order gather in the
+    # table's compact layout instead of a separate [K, 5] stack + row
+    # gather (which materialized lane-padded [N, <128] arrays, ~0.6 ms)
     order_p = jnp.concatenate([order.astype(jnp.int32),
                                jnp.full((1,), n, jnp.int32)])
     per_gs = _build_per_g(xy, conic, jnp.where(visible, opacity, 0.0),
-                          depth, colors, order_p)
+                          depth, colors, order_p,
+                          radius_xy=radius,
+                          visible_f=visible.astype(jnp.float32))
+    rrx, rry, rvis = _rect_rows(C)
+    rect_uv = (per_gs[R_X, :K], per_gs[R_Y, :K])
+    rect_r = (per_gs[rrx, :K], per_gs[rry, :K])
+    rect_vis = per_gs[rvis, :K] > 0.5
 
     if mesh is None:
-        pr = pairs_mod.build_pairs(rect[:, :2], rect[:, 2:4],
-                                   rect[:, 4] > 0.5, width, height, cfg)
+        pr = pairs_mod.build_pairs(rect_uv, rect_r, rect_vis,
+                                   width, height, cfg)
         gpair = _gather_pairs(per_gs, jnp.minimum(pr["pair_idx"], K))
         out = _run_fwd_kernel(pr["starts"], pr["counts"],
                               jnp.asarray(origins), gpair, T, P, C, rows,
@@ -860,13 +911,14 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     pair_cap_local = int(np.ceil(cfg.pair_cap_factor * K
                                  * cfg.shard_pair_margin / D))
 
-    def per_dev(o, rect_, per_gs_):
+    def per_dev(o, per_gs_):
         d = jax.lax.axis_index(axis)
         y0 = (d * H_local).astype(jnp.float32)
-        xy_local = jnp.stack([rect_[:, 0], rect_[:, 1] - y0], -1)
-        p = pairs_mod.build_pairs(xy_local, rect_[:, 2:4],
-                                  rect_[:, 4] > 0.5, width, H_local, cfg,
-                                  pair_cap=pair_cap_local)
+        p = pairs_mod.build_pairs(
+            (per_gs_[R_X, :K], per_gs_[R_Y, :K] - y0),
+            (per_gs_[rrx, :K], per_gs_[rry, :K]),
+            per_gs_[rvis, :K] > 0.5, width, H_local, cfg,
+            pair_cap=pair_cap_local)
         g = _gather_pairs(per_gs_, jnp.minimum(p["pair_idx"], K))
         acc = _run_fwd_kernel(p["starts"], p["counts"], o.reshape(-1), g,
                               Tl, P, C, rows, cfg, interpret)
@@ -876,9 +928,9 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
 
     (acc, starts, counts, pair_idx, prc, nd, nt, gpair) = shard_map(
         per_dev, mesh=mesh,
-        in_specs=(Pspec(axis), Pspec(), Pspec()),
+        in_specs=(Pspec(axis), Pspec()),
         out_specs=tuple([Pspec(axis)] * 8), check_vma=False,
-    )(jnp.asarray(orig_pad), rect, per_gs)
+    )(jnp.asarray(orig_pad), per_gs)
     pr = {"starts": starts, "counts": counts, "pair_idx": pair_idx,
           "per_rank_counts": prc, "n_dropped": jnp.sum(nd),
           "n_trunc": jnp.sum(nt), "n_vis_dropped": n_vis_dropped}
@@ -902,12 +954,14 @@ BWD_INIT = "kernel_fill"
 
 # Dtype of the per-pair gradient slab the backward kernel writes to HBM and
 # the rank-sort gather re-reads (the two biggest pure-HBM passes of the
-# backward glue: [PC, 128] lane-padded). bf16 halves both at ~0.4%
-# relative per-pair rounding BEFORE the f32 segmented reduction; sums that
-# nearly cancel across pairs lose relative accuracy, so f32 stays the
-# default until the on-chip win + tpu_parity_check justify flipping.
-GRAD_SLAB_DTYPE = (jnp.bfloat16 if os.environ.get("SPLATLOC_GRAD_SLAB")
-                   == "bf16" else jnp.float32)
+# backward glue: [PC, 128] lane-padded). bf16 (default) halves both at
+# ~0.4% relative per-pair rounding BEFORE the f32 segmented reduction —
+# within 1.5% relative L2 of the f32-slab grads on every parameter
+# (tests/test_pallas.py::test_grad_slab_bf16_accuracy) and under the
+# kernels' own bf16-MXU compositing noise floor (tpu_parity_check gates).
+# SPLATLOC_GRAD_SLAB=f32 restores exact-f32 slabs.
+GRAD_SLAB_DTYPE = (jnp.float32 if os.environ.get("SPLATLOC_GRAD_SLAB")
+                   == "f32" else jnp.bfloat16)
 
 
 def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
@@ -959,14 +1013,13 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((2, rows, CHUNK), jnp.float32),
-            pltpu.VMEM((2, CHUNK, 128), GRAD_SLAB_DTYPE),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NPF, rows, CHUNK), jnp.float32),
+            pltpu.VMEM((NPF, CHUNK, 128), GRAD_SLAB_DTYPE),
+            pltpu.SemaphoreType.DMA((NPF,)),
+            pltpu.SemaphoreType.DMA((NPF,)),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((P, 8), jnp.float32),          # mpix (persistent)
             pltpu.VMEM((CHUNK, CHUNK), jnp.float32),  # sli (persistent)
-            pltpu.VMEM((CHUNK, CHUNK), jnp.float32),  # slx (persistent)
         ],
     )
     return pl.pallas_call(
@@ -1155,8 +1208,8 @@ def _blend_bwd_rule(width, height, cfg, interpret, mesh, axis, res, cot):
         pr, gpair, fwd_out, cot_main, order_f.astype(jnp.int32), width,
         height, cfg, n, C, interpret, mesh, axis)
     return (dxy, dconic, dop, ddepth, dcolors,
-            jnp.zeros_like(radius), jnp.zeros_like(visible_f),
-            jnp.zeros_like(order_f))
+            jax.tree.map(jnp.zeros_like, radius),
+            jnp.zeros_like(visible_f), jnp.zeros_like(order_f))
 
 
 blend_pairs.defvjp(_blend_fwd_rule, _blend_bwd_rule)

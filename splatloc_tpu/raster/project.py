@@ -172,9 +172,9 @@ def project_gaussians(
         s_cut = jnp.sqrt(jnp.maximum(c_cut, 0.0))
         rx = jnp.minimum(s_cut * jnp.sqrt(jnp.maximum(c00, 0.0)), radius)
         ry = jnp.minimum(s_cut * jnp.sqrt(jnp.maximum(c11, 0.0)), radius)
-        radius_xy = jnp.stack([rx, ry], axis=-1)
-        radius_xy = jnp.where(visible[:, None], radius_xy, 0.0)
+        rx = jnp.where(visible, rx, 0.0)
+        ry = jnp.where(visible, ry, 0.0)
     else:
-        radius_xy = jnp.stack([radius, radius], axis=-1)
+        rx = ry = radius
     return Projected(xy=xy, depth=z, conic=conic, radius=radius,
-                     visible=visible, radius_xy=radius_xy)
+                     visible=visible, radius_x=rx, radius_y=ry)

@@ -105,14 +105,23 @@ class RenderOutput:
 
 @struct.dataclass
 class Projected:
-    """Per-Gaussian screen-space quantities produced by project_gaussians."""
+    """Per-Gaussian screen-space quantities produced by project_gaussians.
+
+    The binning extents live as 1-D components (radius_x, radius_y): a
+    [N, 2] f32 array tiles to (8,128) on TPU — 64x physical bytes — so the
+    hot path passes the components and the stacked view is a lazy
+    property for the cold consumers (probes, tests)."""
     xy: jax.Array           # [N, 2] pixel coords (integer-center grid)
     depth: jax.Array        # [N]    view-space z
     conic: jax.Array        # [N, 3] inverse 2D covariance (a, b, c)
     radius: jax.Array       # [N]    float radius in pixels (0 => culled);
     #                                reference semantics (3 sigma_max square)
     visible: jax.Array      # [N]    bool
-    radius_xy: jax.Array    # [N, 2] per-axis binning extents: the ellipse
-    #                                AABB at the alpha_min cutoff intersected
+    radius_x: jax.Array     # [N]    per-axis binning extents: the ellipse
+    radius_y: jax.Array     # [N]    AABB at the alpha_min cutoff intersected
     #                                with the square radius (== radius when
     #                                opacities were not given to projection)
+
+    @property
+    def radius_xy(self) -> jax.Array:
+        return jax.numpy.stack([self.radius_x, self.radius_y], axis=-1)

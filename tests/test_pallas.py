@@ -68,7 +68,12 @@ def test_pallas_forward_parity(rng):
                                np.asarray(out_x.alpha), atol=5e-5)
 
 
-def test_pallas_gradient_parity(rng):
+def test_pallas_gradient_parity(rng, monkeypatch):
+    # strict float-eps parity pins the kernel MATH with exact-f32 slabs;
+    # the default bf16 slab's (documented, bounded) rounding is covered by
+    # test_grad_slab_bf16_accuracy
+    from splatloc_tpu.raster import pallas_raster
+    monkeypatch.setattr(pallas_raster, "GRAD_SLAB_DTYPE", jnp.float32)
     sc = make_scene(rng)
     cam = make_camera()
     bg = jnp.zeros(4)
@@ -92,6 +97,33 @@ def test_pallas_gradient_parity(rng):
                                    rtol=1e-4, err_msg=f"grad arg {i}")
 
 
+def test_grad_slab_bf16_accuracy(rng, monkeypatch):
+    """GRAD_SLAB_DTYPE=bf16 halves the backward glue's biggest HBM passes
+    (slab write + rank gather); the per-pair rounding happens BEFORE the
+    f32 segmented reduction, so the resulting per-parameter grads must
+    stay within ~1% relative L2 of the f32-slab grads."""
+    from splatloc_tpu.raster import pallas_raster
+
+    sc = make_scene(rng)
+    cam = make_camera()
+    target = jnp.asarray(
+        np.random.default_rng(1).uniform(0, 1, (H, W, 4)).astype(np.float32))
+
+    def f(means, scales, quats, opac, colors):
+        o = rasterize(means, scales, quats, opac, colors, cam, CFG_P)
+        return jnp.mean((o.image - target) ** 2) + 0.05 * jnp.mean(o.depth)
+
+    grad = jax.grad(f, argnums=tuple(range(5)))
+    monkeypatch.setattr(pallas_raster, "GRAD_SLAB_DTYPE", jnp.float32)
+    g32 = grad(*sc)
+    monkeypatch.setattr(pallas_raster, "GRAD_SLAB_DTYPE", jnp.bfloat16)
+    g16 = grad(*sc)
+    for i, (a, b) in enumerate(zip(g32, g16)):
+        num = float(jnp.linalg.norm((b - a).ravel()))
+        den = max(float(jnp.linalg.norm(a.ravel())), 1e-12)
+        assert num / den < 1.5e-2, (i, num / den)
+
+
 def test_pallas_means2d_offset_grad(rng):
     sc = make_scene(rng, 80)
     cam = make_camera()
@@ -107,7 +139,9 @@ def test_pallas_means2d_offset_grad(rng):
     assert np.any(np.abs(g[radii > 0]) > 0)
 
 
-def test_multichannel_feature_rendering(rng):
+def test_multichannel_feature_rendering(rng, monkeypatch):
+    from splatloc_tpu.raster import pallas_raster
+    monkeypatch.setattr(pallas_raster, "GRAD_SLAB_DTYPE", jnp.float32)
     """20-channel compositing (descriptor rendering) — exercises the
     32-row gdata layout — must match the XLA path."""
     n = 120
@@ -135,7 +169,9 @@ def test_multichannel_feature_rendering(rng):
                                rtol=5e-4)
 
 
-def test_giant_splat_extension(rng):
+def test_giant_splat_extension(rng, monkeypatch):
+    from splatloc_tpu.raster import pallas_raster
+    monkeypatch.setattr(pallas_raster, "GRAD_SLAB_DTYPE", jnp.float32)
     """A splat whose tile rect far exceeds max_tiles must not drop pairs:
     the top-K extension emits its remaining tiles (VERDICT r2: the trainer
     previously escalated max_tiles/pair_cap unboundedly and OOM'd)."""

@@ -42,7 +42,13 @@ def main():
 
     cam = Camera.create(np.eye(4, dtype=np.float32), 320.0, 320.0,
                         W / 2, H / 2, W, H)
-    cfg = RasterConfig(use_pallas=True, max_tiles=6)
+    cfg = RasterConfig(
+        use_pallas=True,
+        max_tiles=int(os.environ.get("PC_MAX_TILES", "6")),
+        mid_k=int(os.environ.get("PC_MID_K", "4096")),
+        mid_tiles=int(os.environ.get("PC_MID_TILES", "48")),
+        big_k=int(os.environ.get("PC_BIG_K", "256")),
+        big_tiles=int(os.environ.get("PC_BIG_TILES", "192")))
     args = tuple(map(jnp.asarray, (means, scales, quats, opac, colors)))
     tgt = jnp.asarray(target)
 
@@ -84,6 +90,10 @@ def main():
     t0 = time.perf_counter()
     jax.block_until_ready(run(args, 1))
     print(f"compiled in {time.perf_counter() - t0:.1f}s", flush=True)
+    nd = int(jax.block_until_ready(
+        jax.jit(lambda *a: rasterize(*a, cam, cfg).n_dropped)(*args)))
+    print(f"n_dropped={nd}", flush=True)
+    assert nd == 0, f"cap experiment drops pairs: {nd}"
     jax.block_until_ready(run(args, 1))
 
     t0 = time.perf_counter()

@@ -13,6 +13,14 @@ Run on the chip:   python tools/quality_gate.py
 Opt-in test gate:  SPLATLOC_QUALITY_GATE=1 pytest tests/test_quality_gate.py
 Passes when mean eval PSNR >= 30 and kp contrast >= 5x.
 
+Resumable (VERDICT r4 #2 — a slow-tunnel day must not kill the gate): the
+mapping phase checkpoints its full trainer state to
+SPLATLOC_GATE_CKPT (default /tmp/splatloc_gate_ckpt.npz) the moment it
+finishes, and every phase appends a row to SPLATLOC_GATE_LOG (default
+GATE_PROGRESS.jsonl in the repo) as it lands. A rerun that finds the
+checkpoint (same map_iters) skips straight to the held-out evaluation —
+re-paying only the gt-render and eval compiles, not the mapping phase.
+
 Prints one JSON line with psnr/ssim/kp_contrast/n_alive/iters_per_s.
 """
 from __future__ import annotations
@@ -79,13 +87,26 @@ def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
     from splatloc_tpu.raster import rasterize, RasterConfig, render
     from splatloc_tpu.train.mapping import MappingConfig, MappingTrainer
     from splatloc_tpu.train.losses import ssim
+    from splatloc_tpu.train import checkpoint
     from splatloc_tpu.eval.metrics import psnr_masked
+    import os
 
     t_all = time.perf_counter()
+    ckpt_path = os.environ.get("SPLATLOC_GATE_CKPT",
+                               "/tmp/splatloc_gate_ckpt.npz")
+    log_path = os.environ.get(
+        "SPLATLOC_GATE_LOG",
+        str(_pl.Path(__file__).resolve().parents[1] / "GATE_PROGRESS.jsonl"))
 
     def log(msg):
         print(f"[gate +{time.perf_counter() - t_all:.0f}s] {msg}",
               file=sys.stderr, flush=True)
+
+    def progress(row: dict):
+        row = {**row, "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                          time.gmtime())}
+        with open(log_path, "a") as f:
+            f.write(json.dumps(row) + "\n")
 
     fx = fy = W / 2.0
     cx, cy = (W - 1) / 2, (H - 1) / 2
@@ -148,28 +169,64 @@ def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
     trainer = MappingTrainer(cfg, capacity=capacity,
                              frame_capacity=max(n_frames, 8), seed=seed)
 
-    log("mapping: incremental keyframe insertion + windowed steps")
-    # incremental phase: insert each keyframe, short map bursts (do_recon)
-    per_kf = max(map_iters // (4 * n_frames), 2)
-    t_map = time.perf_counter()
-    for i, (img, dep, sc, w2c) in enumerate(frames):
-        trainer.add_keyframe(img, dep, sc, w2c)
-        trainer.map(per_kf)
-        if i % 6 == 0:
-            log(f"kf {i + 1}/{n_frames}, iter {trainer.iteration}")
-    # global phase: remaining budget over all keyframes (crosses the 2001
-    # opacity reset and ~14 densify/prune cycles)
-    while trainer.iteration < map_iters:
-        trainer.map(min(300, map_iters - trainer.iteration))
+    resumed = False
+    if os.path.exists(ckpt_path):
+        try:
+            trainer = checkpoint.load(trainer, ckpt_path)
+            # re-tier the active-set cap to the RESTORED alive count (the
+            # freshly-constructed trainer tiered it for an empty scene;
+            # evaluating 150k alive under a 77k cap would drop visibles)
+            trainer._refresh_visible_cap()
+            if trainer.iteration >= map_iters:
+                resumed = True
+                log(f"RESUMED mapping state from {ckpt_path} "
+                    f"(iter {trainer.iteration}, "
+                    f"{int(trainer.scene.num_alive)} alive) — skipping "
+                    "the mapping phase")
+        except Exception as e:      # stale/incompatible checkpoint
+            log(f"checkpoint {ckpt_path} not resumable ({e}); remapping")
+            trainer = MappingTrainer(cfg, capacity=capacity,
+                                     frame_capacity=max(n_frames, 8),
+                                     seed=seed)
+
+    if not resumed:
+        log("mapping: incremental keyframe insertion + windowed steps")
+        # incremental: insert each keyframe, short map bursts (do_recon)
+        per_kf = max(map_iters // (4 * n_frames), 2)
+        t_map = time.perf_counter()
+        for i, (img, dep, sc, w2c) in enumerate(frames):
+            trainer.add_keyframe(img, dep, sc, w2c)
+            trainer.map(per_kf)
+            if i % 6 == 0:
+                log(f"kf {i + 1}/{n_frames}, iter {trainer.iteration}")
+        # global phase: remaining budget over all keyframes (crosses the
+        # 2001 opacity reset and ~14 densify/prune cycles)
+        while trainer.iteration < map_iters:
+            trainer.map(min(300, map_iters - trainer.iteration))
+            jax.block_until_ready(trainer.scene.xyz)
+            log(f"iter {trainer.iteration}/{map_iters}, "
+                f"alive {int(trainer.scene.num_alive)}")
         jax.block_until_ready(trainer.scene.xyz)
-        log(f"iter {trainer.iteration}/{map_iters}, "
-            f"alive {int(trainer.scene.num_alive)}")
-    jax.block_until_ready(trainer.scene.xyz)
-    dt_map = time.perf_counter() - t_map
-    iters_per_s = trainer.iteration / dt_map
+        dt_map = time.perf_counter() - t_map
+        iters_per_s = trainer.iteration / dt_map
+        checkpoint.save(trainer, ckpt_path)
+        progress({"phase": "mapping", "iters": trainer.iteration,
+                  "alive": int(trainer.scene.num_alive),
+                  "iters_per_s": round(iters_per_s, 2),
+                  "n_dropped_total": trainer.n_dropped_total,
+                  "wall_s": round(dt_map, 0), "ckpt": ckpt_path})
+        log(f"mapping state checkpointed -> {ckpt_path}")
+    else:
+        iters_per_s = 0.0   # not re-measured on resume; jsonl has the row
+        for line in open(log_path) if os.path.exists(log_path) else []:
+            try:
+                row = json.loads(line)
+                if row.get("phase") == "mapping":
+                    iters_per_s = float(row.get("iters_per_s", 0.0))
+            except Exception:
+                pass
     n_alive = int(trainer.scene.num_alive)
-    log(f"mapped {trainer.iteration} iters in {dt_map:.0f}s "
-        f"({iters_per_s:.2f} it/s), {n_alive} alive gaussians, "
+    log(f"mapping done: iter {trainer.iteration}, {n_alive} alive, "
         f"{trainer.n_dropped_total} pairs ever dropped")
 
     log("evaluating held-out views")
@@ -181,7 +238,7 @@ def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
         return out["render"], out["kp_prob"]
 
     psnrs, ssims, contrasts = [], [], []
-    for img_gt, sc_gt, w2c in evals:
+    for vi, (img_gt, sc_gt, w2c) in enumerate(evals):
         img, kp = eval_view(trainer.scene, jnp.asarray(w2c))
         img, kp = np.asarray(img), np.asarray(kp)
         psnrs.append(float(psnr_masked(jnp.asarray(img), jnp.asarray(img_gt))))
@@ -197,6 +254,12 @@ def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
         if at.any() and bg.any():
             contrasts.append(
                 float(prob[at].mean() / max(prob[bg].mean(), 1e-3)))
+        # partial results land as they compute: a tunnel death mid-eval
+        # leaves per-view evidence on disk
+        progress({"phase": "eval_view", "view": vi,
+                  "psnr": round(psnrs[-1], 2), "ssim": round(ssims[-1], 3),
+                  "kp_contrast": (round(contrasts[-1], 1) if contrasts
+                                  else None)})
 
     res = {
         "psnr": round(float(np.mean(psnrs)), 2),
@@ -207,7 +270,9 @@ def main(n_frames: int = 36, n_eval: int = 4, map_iters: int = 2200,
         "iters_per_s": round(iters_per_s, 2),
         "n_dropped_total": trainer.n_dropped_total,
         "wall_s": round(time.perf_counter() - t_all, 0),
+        "resumed": resumed,
     }
+    progress({"phase": "final", **res})
     print(json.dumps(res), flush=True)
     return res
 
