@@ -57,8 +57,13 @@ def main():
     # the synthetic fill bypasses add_keyframe, so re-tier the active-set
     # cap for the new alive count (the real pipeline does this on insertion)
     trainer._refresh_visible_cap()
+    # probe-tightened pair caps: steady-state mapping runs under the
+    # growth-phase ladder (MappingTrainer._ladder_pair_cap), so the
+    # representative step time is the tightened one
+    trainer.tighten_pair_cap()
     print(f"alive {int(trainer.scene.num_alive)}, visible_cap "
-          f"{trainer.cfg.visible_cap}", file=sys.stderr, flush=True)
+          f"{trainer.cfg.visible_cap}, pair_override "
+          f"{trainer.cfg.pair_cap_override}", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     trainer.map(1)
