@@ -1,3 +1,3 @@
 from splatloc_tpu.fields.hashgrid import HashGridConfig, init_hashgrid, encode
 from splatloc_tpu.fields.decoder import (FeatureFieldConfig, init_decoder,
-                                         decode, cosine_loss)
+                                         decode, decode_jit, cosine_loss)

@@ -80,6 +80,23 @@ def decode(params: dict, pos: jax.Array, cfg: FeatureFieldConfig) -> jax.Array:
     return x / jnp.maximum(norm, 1e-12)
 
 
+_DECODE_JIT_CACHE: dict = {}
+
+
+def decode_jit(params: dict, pos: jax.Array, cfg: FeatureFieldConfig):
+    """jit-compiled :func:`decode` (cached per config): ONE device dispatch
+    where the eager call pays one per op — ~50x the dispatch latency on a
+    remote-attached TPU (measured ~6 s/query through the axon tunnel at
+    4096 query points)."""
+    key = (cfg.bound, cfg.voxel_sdf, cfg.num_layers, cfg.hidden_dim,
+           cfg.final_dim, repr(cfg.grid))
+    fn = _DECODE_JIT_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(lambda p, x, c=cfg: decode(p, x, c))
+        _DECODE_JIT_CACHE[key] = fn
+    return fn(params, pos)
+
+
 def cosine_loss(pred: jax.Array, gt: jax.Array) -> jax.Array:
     """1 - mean cosine similarity (train_decoder.py:23-25)."""
     pn = pred / jnp.maximum(jnp.linalg.norm(pred, axis=-1, keepdims=True), 1e-12)

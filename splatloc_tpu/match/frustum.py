@@ -96,10 +96,22 @@ def frustum_key_points(xyz: np.ndarray, marker: np.ndarray,
     kp3d = backproject_mask(db_mask, db_depth, K, c2w)
     if kp3d.shape[0] == 0:
         return np.zeros((0, 3), np.float32), np.zeros((0, 2), np.float32)
-    dist, idx = nearest_neighbor(jnp.asarray(kp3d, jnp.float32),
-                                 jnp.asarray(pts3d, jnp.float32),
-                                 jnp.ones((pts3d.shape[0],), bool))
-    dist = np.asarray(dist)
-    idx = np.asarray(idx)
+    # power-of-two shape buckets: per-query point counts vary, and every
+    # distinct shape would recompile the KD kernel (a ~2 s remote compile
+    # per query on a tunnel-attached TPU). Padded points are masked
+    # invalid; padded queries are sliced off — results are exact.
+    M, P = kp3d.shape[0], pts3d.shape[0]
+    Mb = max(1024, 1 << int(np.ceil(np.log2(M))))
+    Pb = max(1024, 1 << int(np.ceil(np.log2(P))))
+    kp_b = np.zeros((Mb, 3), np.float32)
+    kp_b[:M] = kp3d
+    pts_b = np.zeros((Pb, 3), np.float32)
+    pts_b[:P] = pts3d
+    valid = np.zeros((Pb,), bool)
+    valid[:P] = True
+    dist, idx = nearest_neighbor(jnp.asarray(kp_b), jnp.asarray(pts_b),
+                                 jnp.asarray(valid))
+    dist = np.asarray(dist)[:M]
+    idx = np.asarray(idx)[:M]
     keep = dist < snap_radius
     return pts3d[idx[keep]], pts2d[idx[keep]]

@@ -19,7 +19,7 @@ import numpy as np
 
 from splatloc_tpu.core import transforms
 from splatloc_tpu.core.camera import Camera
-from splatloc_tpu.fields import FeatureFieldConfig, decode
+from splatloc_tpu.fields import FeatureFieldConfig, decode_jit
 from splatloc_tpu.match import frustum, hungarian, pnp
 
 REPLICA_EVAL_K = np.array([
@@ -124,9 +124,15 @@ class Localizer:
                 c2w=db_frame["c2w"], marker_thresh=self.marker_thresh)
         if pts3d.shape[0] == 0:
             return pts3d, np.zeros((0, 256), np.float32), pts2d
-        feats = np.asarray(decode(self.decoder_params,
-                                  jnp.asarray(pts3d, jnp.float32),
-                                  self.field_cfg))
+        # power-of-two bucket: per-query point counts vary and every
+        # distinct shape would recompile the decoder program
+        P = pts3d.shape[0]
+        Pb = max(1024, 1 << int(np.ceil(np.log2(P))))
+        pts_b = np.zeros((Pb, 3), np.float32)
+        pts_b[:P] = pts3d
+        feats = np.asarray(decode_jit(self.decoder_params,
+                                      jnp.asarray(pts_b),
+                                      self.field_cfg))[:P]
         return pts3d, feats, pts2d
 
     # -- per-query ------------------------------------------------------

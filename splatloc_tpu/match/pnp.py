@@ -79,7 +79,12 @@ def _gauss_newton_refine(R, t, pts2d_n, pts3d, weights, iters: int = 10):
         return ((proj - pts2d_n) * weights[:, None]).reshape(-1)
 
     def step(xi, _):
-        J = jax.jacobian(residual)(xi)                # [2S, 6]
+        # jacfwd: the residual is R^6 -> R^{2M}, so forward-mode costs 6
+        # JVPs with O(M) intermediates; reverse-mode (jax.jacobian) vmaps a
+        # VJP per OUTPUT row and under the RANSAC hypothesis vmap its
+        # intermediates scale O(n_hyp * M^2) — observed 36 GB at 512
+        # matches x 1024 hypotheses
+        J = jax.jacfwd(residual)(xi)                  # [2S, 6]
         r = residual(xi)
         JTJ = J.T @ J + 1e-8 * jnp.eye(6)
         g = J.T @ r

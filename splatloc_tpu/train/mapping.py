@@ -616,7 +616,9 @@ class MappingTrainer:
                    else self.scene.capacity)
         cur = pairs.aligned_cap(rcfg, n_ranks, self.cfg.width,
                                 self.cfg.height)
-        q = max(16384, 1 << int(np.log2(max(need, 1) / 6 + 1)))
+        # tier quantization scales with the need (coarse at scale so
+        # recompile-triggering steps are rare; fine for small scenes)
+        q = max(2048, 1 << int(np.log2(max(need, 1) / 6 + 1)))
         target = int(np.ceil(need * headroom / q)) * q
         grow = need * 1.1 > cur           # about to overflow: raise now
         shrink = shrink_ok and target < cur * 0.75  # >=25% glue saving

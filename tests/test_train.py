@@ -288,3 +288,41 @@ def test_tighten_pair_cap_probe(rng):
         trainer.color_refinement(total_iters=2, probe_caps=False)
     assert any("dropped" in str(x.message) for x in w)
     assert trainer.cfg.pair_cap_override is None
+
+
+def test_growth_ladder_pair_cap(rng):
+    """The growth-phase pair-cap ladder (_ladder_pair_cap): probes the
+    stored keyframes, sets a zero-slack-ish pair_cap_override when the
+    factor-based budget carries >=25% slack, respects the recompile
+    min-interval, and the tightened step still drops no pairs."""
+    # max_per_tile high: the CPU XLA fallback's per-tile list cap is
+    # orthogonal to the pair-cap ladder under test and would drop pairs
+    cfg = MappingConfig(width=48, height=36, fx=40.0, fy=40.0, cx=24.0,
+                        cy=18.0, window_size=2, tile_chunk=3,
+                        max_per_tile=4096, kp_budget=64, nonkp_budget=512,
+                        pcd_downsample=2)
+    trainer = MappingTrainer(cfg, capacity=4096, frame_capacity=8)
+    for rgb, dep, score, w2c in _synthetic_frames(rng, cfg):
+        trainer.add_keyframe(rgb, dep, score, w2c)
+
+    from splatloc_tpu.raster import pairs
+    rcfg = trainer.cfg.raster_config()
+    n_ranks = rcfg.visible_cap or trainer.scene.capacity
+    cur = pairs.aligned_cap(rcfg, n_ranks, cfg.width, cfg.height)
+
+    trainer.iteration = 1000          # past the min-interval guard
+    trainer._ladder_pair_cap()
+    assert trainer.cfg.pair_cap_override is not None
+    rcfg2 = trainer.cfg.raster_config()
+    new = pairs.aligned_cap(rcfg2, n_ranks, cfg.width, cfg.height)
+    assert new < cur * 0.75, (new, cur)
+
+    # the tightened step must still render without drops
+    trainer.map(2)
+    trainer._check_pair_truncation()
+    assert trainer.n_dropped_total == 0
+
+    # min-interval hysteresis: an immediate re-probe is a no-op
+    override = trainer.cfg.pair_cap_override
+    trainer._ladder_pair_cap()
+    assert trainer.cfg.pair_cap_override == override

@@ -63,8 +63,8 @@ class _FakeDataset:
 def main():
     from splatloc_tpu.core.camera import Camera
     from splatloc_tpu.eval import selection
-    from splatloc_tpu.fields.decoder import (FeatureFieldConfig, decode,
-                                             init_decoder)
+    from splatloc_tpu.fields.decoder import (FeatureFieldConfig,
+                                             decode_jit, init_decoder)
     from splatloc_tpu.match import hungarian, pnp, superpoint
     from splatloc_tpu.match.localize import Localizer, refine_pose
     from splatloc_tpu.raster import render
@@ -138,8 +138,7 @@ def main():
     w2cs = np.stack([frames[i]["w2c"] for i in range(N_TRAIN)])
     depths = np.stack([frames[i]["depth"] for i in range(N_TRAIN)])
     t0 = time.perf_counter()
-    sel = selection.select_landmarks(key_pts, w2cs, K, depths, W, H,
-                                     N_LANDMARKS)
+    sel = selection.select_landmarks(key_pts, w2cs, K, depths, N_LANDMARKS)
     t_sel = time.perf_counter() - t0
     log(f"selection: {N_LANDMARKS} of {len(key_pts)} over {N_TRAIN} views "
         f"in {t_sel:.1f}s (got {len(sel)})")
@@ -155,12 +154,18 @@ def main():
     retrieval = {f"q{i:04d}": [names[i % N_TRAIN]] for i in range(n_queries)}
 
     class _QF:
+        """Fixed-shape query features: invalid keypoint slots keep zero
+        descriptors (cosine 0 -> inert below the 0.4 threshold) so every
+        downstream stage compiles exactly once."""
+
         def __call__(self, name):
             i = int(name[1:]) % N_TRAIN
             out = extract_j(jnp.asarray(grays[i], jnp.float32))
             valid = np.asarray(out["valid"])
-            return {"keypoints": np.asarray(out["keypoints"])[valid],
-                    "descriptors": np.asarray(out["descriptors"])[:, valid]}
+            desc = np.array(out["descriptors"])   # writable copy
+            desc[:, ~valid] = 0.0
+            return {"keypoints": np.asarray(out["keypoints"]),
+                    "descriptors": desc, "n_valid": int(valid.sum())}
 
     ds = _FakeDataset(K, W, H, names, frames)
     loc = Localizer(scene, dec_params, fcfg, ds, retrieval, _QF(), K)
@@ -189,27 +194,44 @@ def main():
             db_depth=db_frame["depth"], c2w=db_frame["c2w"])
         stage["frustum_snap"].append(time.perf_counter() - t0)
 
+        # FIXED-shape padding: per-query point counts vary, and each new
+        # shape would recompile decode/hungarian on the slow remote-compile
+        # tunnel — pad the 3D side to MAXP once (pad descriptors are zero
+        # -> cosine 0 -> below the 0.4 threshold, inert in matching)
+        MAXP = 4096
+        n_real = min(len(pts3d), MAXP)
+        pts3d_p = np.zeros((MAXP, 3), np.float32)
+        pts3d_p[:n_real] = pts3d[:n_real]
         t0 = time.perf_counter()
-        feats = (np.asarray(decode(dec_params,
-                                   jnp.asarray(pts3d, jnp.float32), fcfg))
-                 if len(pts3d) else np.zeros((0, 256), np.float32))
+        feats = np.array(decode_jit(dec_params, jnp.asarray(pts3d_p), fcfg))
+        feats[n_real:] = 0.0
         stage["decode"].append(time.perf_counter() - t0)
+        pts3d = pts3d_p
 
-        if len(pts3d) >= 5:
+        if n_real >= 5:
             t0 = time.perf_counter()
             matches, sims = hungarian.hungarian_solve(
                 qf["descriptors"], feats.T, sim_thresh=0.4)
             stage["hungarian"].append(time.perf_counter() - t0)
 
-            t0 = time.perf_counter()
-            ret = pnp.solve_pnp_ransac(
-                qf["keypoints"][matches[0]].astype(np.float32),
-                pts3d[matches[1]].astype(np.float32), K)
-            stage["pnp"].append(time.perf_counter() - t0)
-            n_solved += int(bool(ret["success"]))
+            # random-weight descriptors leave few above-threshold sims; cap
+            # the correspondence count fed to RANSAC at a realistic upper
+            # bound (the reference's surviving matches are O(100s); the
+            # vmapped GN refine is O(hyp x pts^2) memory)
+            keep = np.argsort(-sims)[:512]
+            try:
+                t0 = time.perf_counter()
+                ret = pnp.solve_pnp_ransac(
+                    qf["keypoints"][matches[0][keep]].astype(np.float32),
+                    pts3d[matches[1][keep]].astype(np.float32), K,
+                    n_hypotheses=256)
+                stage["pnp"].append(time.perf_counter() - t0)
+                n_solved += int(bool(ret["success"]))
+            except Exception as e:   # surface, don't kill the rehearsal
+                log(f"q{qi}: pnp failed: {type(e).__name__}: {e}")
         stage["total"].append(time.perf_counter() - t_q0)
         if qi == 0:
-            log(f"q0: {len(pts3d)} frustum pts, "
+            log(f"q0: {n_real} frustum pts, "
                 f"{qf['keypoints'].shape[0]} query kps "
                 f"(first query includes compiles)")
 
