@@ -125,14 +125,16 @@ class Localizer:
         if pts3d.shape[0] == 0:
             return pts3d, np.zeros((0, 256), np.float32), pts2d
         # power-of-two bucket: per-query point counts vary and every
-        # distinct shape would recompile the decoder program
+        # distinct shape would recompile the decoder program. The
+        # descriptors stay DEVICE-resident: their only consumer is the
+        # device-side Hungarian similarity, and a host round-trip of the
+        # [P, 256] block costs ~2 s per query on a tunnel-attached TPU.
         P = pts3d.shape[0]
         Pb = max(1024, 1 << int(np.ceil(np.log2(P))))
         pts_b = np.zeros((Pb, 3), np.float32)
         pts_b[:P] = pts3d
-        feats = np.asarray(decode_jit(self.decoder_params,
-                                      jnp.asarray(pts_b),
-                                      self.field_cfg))[:P]
+        feats = decode_jit(self.decoder_params, jnp.asarray(pts_b),
+                           self.field_cfg)[:P]
         return pts3d, feats, pts2d
 
     # -- per-query ------------------------------------------------------

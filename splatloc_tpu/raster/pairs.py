@@ -136,15 +136,22 @@ def aligned_cap(cfg: RasterConfig, n: int, width: int, height: int) -> int:
 
 def _emission(xy, radius_xy, visible, width, height, ts, max_tiles):
     """Shared emitted-tile-set geometry: each visible Gaussian emits the
-    first m = min(area, max_tiles) cells of its rect in row-major order."""
+    first ``m`` row-major cells of its rect — the full rect when it fits
+    ``max_tiles``, else max_tiles ROUNDED DOWN to whole rows. Row-rounded
+    truncation makes the partial-row corner contribution structurally zero
+    (r == 0 always), HALVING the corner-histogram sort population (the
+    partial-row corner arrays were pure sentinels for every non-truncated
+    Gaussian — 4N of the 8N ids); the few extra truncated cells ride the
+    giant-splat extension tiers / n_trunc escalation like all truncation."""
     rminx, rmaxx, rminy, rmaxy = _tile_rects(xy, radius_xy, width, height,
                                              ts)
     aw = rmaxx - rminx
     ah = rmaxy - rminy
     area = aw * ah
-    m = jnp.where(visible, jnp.minimum(area, max_tiles), 0)
     awc = jnp.maximum(aw, 1)
-    n_trunc = jnp.sum(jnp.maximum(area - max_tiles, 0)
+    m = jnp.where(area <= max_tiles, area, (max_tiles // awc) * awc)
+    m = jnp.where(visible, m, 0)
+    n_trunc = jnp.sum(jnp.maximum(area - m, 0)
                       * visible.astype(jnp.int32))
     return rminx, rminy, aw, awc, m, area, n_trunc
 
@@ -157,11 +164,15 @@ def big_tiles_for(cfg: RasterConfig, width: int, height: int) -> int:
     return max(caps, default=cfg.max_tiles)
 
 
-def _corner_blocks(rminx, rminy, aw, awc, m, G, gxp, flip):
-    """8 corner-id arrays encoding the emission of the FIRST ``m`` row-major
+def _corner_blocks(rminx, rminy, aw, awc, m, G, gxp, flip,
+                   partial: bool = True):
+    """Corner-id arrays encoding the emission of the FIRST ``m`` row-major
     cells of each rect (union of a full-rows rect and a partial-row rect =
     <= 8 signed corners on the (gy+1, gx+1) difference grid). Minus-corners
-    are tagged +G; ``flip`` swaps plus/minus (subtracts the emission)."""
+    are tagged +G; ``flip`` swaps plus/minus (subtracts the emission).
+    ``partial=False`` asserts the caller's ``m`` is row-rounded (r == 0
+    structurally, see _emission) and emits only the 4 full-rows corners —
+    half the sort population."""
     sent = 2 * G
     q = m // awc
     r = m - q * awc
@@ -175,13 +186,14 @@ def _corner_blocks(rminx, rminy, aw, awc, m, G, gxp, flip):
     # keep every corner array 1-D: column-shaped [N, 1] intermediates get a
     # 1-lane TPU layout and cost ~1 ms each in fusions
     plus = [jnp.where(a1, cid(rminy, rminx), sent),
-            jnp.where(a1, cid(y1, rminx + aw), sent),
-            jnp.where(a2, cid(y1, rminx), sent),
-            jnp.where(a2, cid(y1 + 1, rminx + r), sent)]
+            jnp.where(a1, cid(y1, rminx + aw), sent)]
     minus = [jnp.where(a1, cid(rminy, rminx + aw), sent),
-             jnp.where(a1, cid(y1, rminx), sent),
-             jnp.where(a2, cid(y1, rminx + r), sent),
-             jnp.where(a2, cid(y1 + 1, rminx), sent)]
+             jnp.where(a1, cid(y1, rminx), sent)]
+    if partial:
+        plus += [jnp.where(a2, cid(y1, rminx), sent),
+                 jnp.where(a2, cid(y1 + 1, rminx + r), sent)]
+        minus += [jnp.where(a2, cid(y1, rminx + r), sent),
+                  jnp.where(a2, cid(y1 + 1, rminx), sent)]
     if flip:
         plus, minus = minus, plus
     return plus + [x + G for x in minus]
@@ -246,9 +258,11 @@ def _big_extension(area, visible, rminx, rminy, aw, awc, m,
         ext = jnp.maximum(m2 - m1, 0)
         brminx, brminy = rminx[bidx], rminy[bidx]
         baw, bawc = aw[bidx], awc[bidx]
+        # m1 (the dense part being subtracted) is row-rounded -> 4 corners;
+        # m2 = min(area, cap) is not -> full 8
         ids += (_corner_blocks(brminx, brminy, baw, bawc, m2, G, gxp, False)
                 + _corner_blocks(brminx, brminy, baw, bawc, m1, G, gxp,
-                                 True))
+                                 True, partial=False))
         m_ext = m_ext.at[bidx].add(ext)
         geo.append((bidx, brminx, brminy, bawc, m1, m2, cap))
     return ids, m_ext, geo
@@ -267,7 +281,11 @@ def _counts_and_geometry(xy, radius_xy, visible, width, height, cfg,
     N = (xy[0] if isinstance(xy, tuple) else xy).shape[0]
     rminx, rminy, aw, awc, m, area, n_trunc = _emission(
         xy, radius_xy, visible, width, height, ts, max_tiles)
-    ids = _corner_blocks(rminx, rminy, aw, awc, m, G, gxp, False)
+    # dense emission is row-rounded (r == 0 structurally): 4 corners per
+    # Gaussian instead of 8 — the tier blocks below keep the partial-row
+    # corners (their m2 = min(area, cap) is not row-rounded)
+    ids = _corner_blocks(rminx, rminy, aw, awc, m, G, gxp, False,
+                         partial=False)
     tiers = extension_tiers(cfg, N, width, height)
     geo = []
     m_tot = m

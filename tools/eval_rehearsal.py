@@ -203,8 +203,12 @@ def main():
         pts3d_p = np.zeros((MAXP, 3), np.float32)
         pts3d_p[:n_real] = pts3d[:n_real]
         t0 = time.perf_counter()
-        feats = np.array(decode_jit(dec_params, jnp.asarray(pts3d_p), fcfg))
-        feats[n_real:] = 0.0
+        # device-resident: the only consumer is the device-side Hungarian
+        # similarity — a host round-trip of [4096, 256] costs ~2 s on the
+        # tunnel
+        feats = decode_jit(dec_params, jnp.asarray(pts3d_p), fcfg)
+        feats = feats.at[n_real:].set(0.0)
+        jax.block_until_ready(feats)
         stage["decode"].append(time.perf_counter() - t0)
         pts3d = pts3d_p
 
