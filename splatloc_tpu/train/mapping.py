@@ -599,16 +599,21 @@ class MappingTrainer:
         import dataclasses
         if self.frames.n == 0:
             return
+        in_interval = (self.iteration - getattr(self, "_ladder_last",
+                                                -10**9)
+                       < self._LADDER_MIN_INTERVAL)
         if sample is None:
-            if (self.iteration - getattr(self, "_ladder_last", -10**9)
-                    < self._LADDER_MIN_INTERVAL):
-                return
             # the most recent frames dominate the need (fresh insertions
-            # render big) + a spread over history
+            # render big) + a spread over history; within the recompile
+            # min-interval only the cheap overflow check (recent frames)
+            # runs
             recent = np.arange(max(0, self.frames.n - 3), self.frames.n)
-            spread = np.linspace(0, self.frames.n - 1,
-                                 min(5, self.frames.n), dtype=int)
-            sample = np.unique(np.concatenate([recent, spread]))
+            if in_interval:
+                sample = recent
+            else:
+                spread = np.linspace(0, self.frames.n - 1,
+                                     min(5, self.frames.n), dtype=int)
+                sample = np.unique(np.concatenate([recent, spread]))
         from splatloc_tpu.raster import pairs
         need = self._probe_pair_need(sample)
         rcfg = self.cfg.raster_config()
@@ -621,7 +626,10 @@ class MappingTrainer:
         q = max(2048, 1 << int(np.log2(max(need, 1) / 6 + 1)))
         target = int(np.ceil(need * headroom / q)) * q
         grow = need * 1.1 > cur           # about to overflow: raise now
-        shrink = shrink_ok and target < cur * 0.75  # >=25% glue saving
+        # only SHRINKS wait out the recompile min-interval — an imminent
+        # overflow must raise the cap immediately (a drop costs an
+        # escalation recompile anyway, plus the dropped pairs)
+        shrink = shrink_ok and target < cur * 0.75 and not in_interval
         if not (grow or shrink):
             return
         ts = self.cfg.tile_size
