@@ -46,7 +46,8 @@ def rasterize_sharded(means3d, scales, quats, opacities, colors,
                                          opacities))
     order = binning.depth_sort(proj)
     acc, n_dropped, n_trunc, n_vis_dropped = pallas_raster.blend_pairs(
-        proj.xy, proj.conic, opacities, proj.depth, colors,
+        (proj.u, proj.v), (proj.conic_a, proj.conic_b, proj.conic_c),
+        opacities, proj.depth, colors,
         (jax.lax.stop_gradient(proj.radius_x),
          jax.lax.stop_gradient(proj.radius_y)),
         jax.lax.stop_gradient(proj.visible.astype(jnp.float32)),

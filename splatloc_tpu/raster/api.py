@@ -46,7 +46,8 @@ def rasterize(
                                      opacities=jax.lax.stop_gradient(
                                          opacities))
     if means2d_offset is not None:
-        proj = proj.replace(xy=proj.xy + means2d_offset)
+        proj = proj.replace(u=proj.u + means2d_offset[:, 0],
+                            v=proj.v + means2d_offset[:, 1])
 
     order = binning.depth_sort(proj)
 
@@ -54,7 +55,8 @@ def rasterize(
         from splatloc_tpu.raster import pallas_raster
         interpret = jax.default_backend() == "cpu"
         acc, n_dropped, n_trunc, n_vis_dropped = pallas_raster.blend_pairs(
-            proj.xy, proj.conic, opacities, proj.depth, colors,
+            (proj.u, proj.v), (proj.conic_a, proj.conic_b, proj.conic_c),
+            opacities, proj.depth, colors,
             (jax.lax.stop_gradient(proj.radius_x),
              jax.lax.stop_gradient(proj.radius_y)),
             jax.lax.stop_gradient(proj.visible.astype(jnp.float32)),

@@ -667,11 +667,13 @@ def _build_per_g(xy, conic, opacity, depth, colors, order_p,
     (8,128), 32x physical bytes); here they reuse the table's compact
     [rows, n] layout and its one order gather. The kernels ignore the
     extra rows; their grad-slab rows are zero."""
-    n = xy.shape[0]
     c = colors.shape[-1]
     rows = _rows_for(c)
-    chans = [xy[:, 0], xy[:, 1], conic[:, 0], conic[:, 1], conic[:, 2],
-             opacity, depth]                       # R_X..R_DEPTH order
+    us, vs = (xy if isinstance(xy, tuple) else (xy[:, 0], xy[:, 1]))
+    ca, cb, cc = (conic if isinstance(conic, tuple)
+                  else (conic[:, 0], conic[:, 1], conic[:, 2]))
+    n = us.shape[0]
+    chans = [us, vs, ca, cb, cc, opacity, depth]   # R_X..R_DEPTH order
     chans += [colors[:, i] for i in range(c)]      # N_FIXED..
     if radius_xy is not None:
         rx, ry = (radius_xy if isinstance(radius_xy, tuple)
@@ -852,7 +854,7 @@ def _forward_impl(xy, conic, opacity, depth, colors, radius, visible, order,
     ts = cfg.tile_size
     P = ts * ts
     C = colors.shape[-1]
-    n = xy.shape[0]
+    n = (xy[0] if isinstance(xy, tuple) else xy).shape[0]
     rows = _rows_for(C)
     T, origins = _origins(width, height, ts)
 
@@ -1157,8 +1159,10 @@ def _backward_impl(pr, gpair, fwd_out, cot, order, width, height, cfg, n, C,
             [seg, jnp.zeros((n - K, seg.shape[1]), seg.dtype)])
     inv_order = jnp.argsort(order.astype(jnp.int32))
     seg = jnp.take(seg, inv_order, axis=0)                    # unsorted
-    dxy = seg[:, [R_X, R_Y]]
-    dconic = seg[:, [R_CA, R_CB, R_CC]]
+    # component cotangents (matching the tuple inputs): a [N, 2]/[N, 3]
+    # cotangent array would lane-pad 32-64x on every materialization
+    dxy = (seg[:, R_X], seg[:, R_Y])
+    dconic = (seg[:, R_CA], seg[:, R_CB], seg[:, R_CC])
     dop = seg[:, R_OP]
     ddepth = seg[:, R_DEPTH]
     dcolors = seg[:, N_FIXED:N_FIXED + C]
@@ -1170,9 +1174,12 @@ def blend_pairs(xy, conic, opacity, depth, colors, radius, visible_f, order_f,
                 width: int, height: int, cfg: RasterConfig,
                 interpret: bool = False, mesh=None, axis: str = "tile"):
     """Differentiable pair blend over UNSORTED per-Gaussian screen
-    quantities; ``order_f`` is the depth permutation (float-encoded, exact
-    for N < 2^24). radius/visible_f/order_f direct the binning and get zero
-    cotangents. With ``mesh``, the tile axis shards across the named mesh
+    quantities — ``xy`` is the tuple (u, v), ``conic`` the tuple
+    (a, b, c), ``radius`` the tuple (rx, ry): 1-D components, because a
+    [N, k<128] array (and its cotangent) lane-pads 32-64x under the TPU
+    (8,128) tiling. ``order_f`` is the depth permutation (float-encoded,
+    exact for N < 2^24). radius/visible_f/order_f direct the binning and
+    get zero cotangents. With ``mesh``, the tile axis shards across the named mesh
     axis (forward tiles sharded; backward pair-grad shards psummed).
 
     Returns (acc [T, C+4, P] attr-major, n_dropped, n_trunc,
@@ -1196,8 +1203,9 @@ def _blend_fwd_rule(xy, conic, opacity, depth, colors, radius, visible_f,
                                    order_f.astype(jnp.int32), width, height,
                                    cfg, interpret, mesh, axis)
     return ((out, pr["n_dropped"], pr["n_trunc"], pr["n_vis_dropped"]),
-            (pr, gpair, out, xy.shape[0], colors.shape[-1], radius,
-             visible_f, order_f))
+            (pr, gpair, out,
+             (xy[0] if isinstance(xy, tuple) else xy).shape[0],
+             colors.shape[-1], radius, visible_f, order_f))
 
 
 def _blend_bwd_rule(width, height, cfg, interpret, mesh, axis, res, cot):

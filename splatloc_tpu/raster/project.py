@@ -84,7 +84,6 @@ def project_gaussians(
     x, y = p_view[..., 0], p_view[..., 1]
     u = camera.fx * x / zs + (camera.cx - 0.5)
     v = camera.fy * y / zs + (camera.cy - 0.5)
-    xy = jnp.stack([u, v], axis=-1)
 
     # EWA: clamp the tangent-plane coords like the CUDA computeCov2D does.
     tan_fovx = camera.tanfovx
@@ -132,7 +131,9 @@ def project_gaussians(
     det_ok = det > 0.0
     det_safe = jnp.where(det_ok, det, 1.0)
     inv_det = 1.0 / det_safe
-    conic = jnp.stack([c11 * inv_det, -c01 * inv_det, c00 * inv_det], axis=-1)
+    conic_a = c11 * inv_det
+    conic_b = -c01 * inv_det
+    conic_c = c00 * inv_det
 
     mid = 0.5 * (c00 + c11)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det_safe))
@@ -176,5 +177,6 @@ def project_gaussians(
         ry = jnp.where(visible, ry, 0.0)
     else:
         rx = ry = radius
-    return Projected(xy=xy, depth=z, conic=conic, radius=radius,
-                     visible=visible, radius_x=rx, radius_y=ry)
+    return Projected(u=u, v=v, depth=z, conic_a=conic_a, conic_b=conic_b,
+                     conic_c=conic_c, radius=radius, visible=visible,
+                     radius_x=rx, radius_y=ry)

@@ -107,13 +107,17 @@ class RenderOutput:
 class Projected:
     """Per-Gaussian screen-space quantities produced by project_gaussians.
 
-    The binning extents live as 1-D components (radius_x, radius_y): a
-    [N, 2] f32 array tiles to (8,128) on TPU — 64x physical bytes — so the
-    hot path passes the components and the stacked view is a lazy
-    property for the cold consumers (probes, tests)."""
-    xy: jax.Array           # [N, 2] pixel coords (integer-center grid)
+    Vector quantities live as 1-D components (u/v, conic_a/b/c,
+    radius_x/y): a [N, k<128] f32 array tiles to (8,128) on TPU — 32-64x
+    physical bytes on every materialization AND on every cotangent — so the
+    hot path passes components and the stacked views are lazy properties
+    for the cold consumers (probes, the XLA fallback, tests)."""
+    u: jax.Array            # [N]    pixel x (integer-center grid)
+    v: jax.Array            # [N]    pixel y
     depth: jax.Array        # [N]    view-space z
-    conic: jax.Array        # [N, 3] inverse 2D covariance (a, b, c)
+    conic_a: jax.Array      # [N]    inverse 2D covariance components
+    conic_b: jax.Array      # [N]
+    conic_c: jax.Array      # [N]
     radius: jax.Array       # [N]    float radius in pixels (0 => culled);
     #                                reference semantics (3 sigma_max square)
     visible: jax.Array      # [N]    bool
@@ -121,6 +125,15 @@ class Projected:
     radius_y: jax.Array     # [N]    AABB at the alpha_min cutoff intersected
     #                                with the square radius (== radius when
     #                                opacities were not given to projection)
+
+    @property
+    def xy(self) -> jax.Array:
+        return jax.numpy.stack([self.u, self.v], axis=-1)
+
+    @property
+    def conic(self) -> jax.Array:
+        return jax.numpy.stack([self.conic_a, self.conic_b, self.conic_c],
+                               axis=-1)
 
     @property
     def radius_xy(self) -> jax.Array:
