@@ -682,8 +682,11 @@ def _build_per_g(xy, conic, opacity, depth, colors, order_p,
     if len(chans) < rows:
         z = jnp.zeros((n,), jnp.float32)
         chans += [z] * (rows - len(chans))
-    per_g = jnp.stack(chans, axis=0)               # [rows, n]
-    per_g = jnp.pad(per_g, ((0, 0), (0, 1)))       # sentinel column n
+    # sentinel column n: padded PER-CHANNEL (1-D pads fuse into the stack;
+    # a 2-D pad of the stacked table lands after XLA's {0,1} layout copy
+    # and rewrites the whole 17 MB table — measured 0.41 ms/view at 262k
+    # capacity)
+    per_g = jnp.stack([jnp.pad(c, (0, 1)) for c in chans], axis=0)
     return jnp.take(per_g, order_p, axis=1)        # [rows, n+1]
 
 
@@ -1036,8 +1039,9 @@ def _run_bwd_kernel(starts, counts, origins, gpair, fwd_out, cot, T, P, C,
 # Rank-sort gather layout experiment: "full" gathers the whole 128-lane
 # pair-major rows then slices to ``rows``; "sliced" fuses the lane slice
 # into the gather operand (XLA may emit a narrower output). Module-level so
-# tools/exp_bwd_glue.py can flip it per-variant on chip.
-RANK_GATHER = "full"
+# tools/exp_bwd_glue.py can flip it per-variant on chip; the env var lets
+# profiling tools A/B it without an edit.
+RANK_GATHER = os.environ.get("SPLATLOC_RANK_GATHER", "full")
 
 
 def _reduce_to_gauss(grad_pairs, pair_idx, per_rank_counts, n, C, kmax,
@@ -1069,6 +1073,14 @@ def _reduce_to_gauss(grad_pairs, pair_idx, per_rank_counts, n, C, kmax,
     # lowers to strided element reads)
     if RANK_GATHER == "sliced":
         gperm = jnp.take(grad_pairs[:, :rows], perm, axis=0)  # [PC, rows]
+    elif RANK_GATHER.startswith("split"):
+        # gather in k output chunks (A/B probe: is the big-gather efficiency
+        # cliff output-size-bound?)
+        k = int(RANK_GATHER[5:])
+        q = -(-PC // k)
+        parts = [jnp.take(grad_pairs, perm[i * q:min((i + 1) * q, PC)],
+                          axis=0) for i in range(k)]
+        gperm = jnp.concatenate(parts, axis=0)[:, :rows]
     else:
         gperm = jnp.take(grad_pairs, perm, axis=0)[:, :rows]  # [PC, rows]
     # attribute-major for the scan: every step is a lane-axis roll. The

@@ -9,6 +9,7 @@ import collections
 import glob
 import gzip
 import json
+import os
 import shutil
 import sys
 import time
@@ -116,7 +117,8 @@ def main():
     total = sum(durs.values())
     print(f"\n== device ops over {iters} steps "
           f"(total {total / 1e3 / iters:.2f} ms/step)")
-    for name, d in durs.most_common(60):
+    top_n = int(os.environ.get("PROFILE_TOP_N", "60"))
+    for name, d in durs.most_common(top_n):
         det = details.get(name, "")
         extra = f"\n            {det}" if det else ""
         print(f"{d / 1e3 / iters:9.3f} ms/step  x{counts[name] // iters:4d}  "
