@@ -682,12 +682,16 @@ def _build_per_g(xy, conic, opacity, depth, colors, order_p,
     if len(chans) < rows:
         z = jnp.zeros((n,), jnp.float32)
         chans += [z] * (rows - len(chans))
-    # sentinel column n: padded PER-CHANNEL (1-D pads fuse into the stack;
-    # a 2-D pad of the stacked table lands after XLA's {0,1} layout copy
-    # and rewrites the whole 17 MB table — measured 0.41 ms/view at 262k
-    # capacity)
-    per_g = jnp.stack([jnp.pad(c, (0, 1)) for c in chans], axis=0)
-    return jnp.take(per_g, order_p, axis=1)        # [rows, n+1]
+    per_g = jnp.stack(chans, axis=0)               # [rows, n]
+    # sentinel column appended AFTER the order gather: order_p's final
+    # entries (= n) clamp into the last real column here and the pad below
+    # overwrites that slot with zeros. Padding the PRE-gather table instead
+    # rewrote the whole 17 MB stacked table behind XLA's {0,1} layout copy
+    # (0.41 ms/view at 262k capacity); per-channel 1-D pads broke the
+    # single-fusion stack lowering (+1.0 ms at bench scale). The gather
+    # output is [K, rows]-physical, so this pad is one 64 B tail row.
+    sorted_t = jnp.take(per_g, order_p[:-1], axis=1)
+    return jnp.pad(sorted_t, ((0, 0), (0, 1)))     # [rows, K+1]
 
 
 def _rect_rows(c: int) -> tuple[int, int, int]:
